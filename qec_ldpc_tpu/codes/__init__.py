@@ -1,0 +1,22 @@
+from qec_ldpc_tpu.codes.construction import (
+    build_exponent_tables,
+    build_i_minus_p,
+    expand_circulant,
+    gf2_annihilator,
+    gf2_rref,
+)
+from qec_ldpc_tpu.codes.css import QuantumLDPCCode, construct_code, exponents_from_pcm
+from qec_ldpc_tpu.codes.loader import load_code_file, save_code_file
+
+__all__ = [
+    "QuantumLDPCCode",
+    "construct_code",
+    "load_code_file",
+    "save_code_file",
+    "build_exponent_tables",
+    "expand_circulant",
+    "build_i_minus_p",
+    "gf2_annihilator",
+    "gf2_rref",
+    "exponents_from_pcm",
+]

@@ -1,0 +1,30 @@
+from qec_ldpc_tpu.decoder.decode import (
+    CONVERGENCE_FAIL_X,
+    CONVERGENCE_FAIL_Z,
+    SUCCESS,
+    SYNDROME_FAIL_X,
+    SYNDROME_FAIL_Z,
+    CodeGraphs,
+    DecodeResult,
+    decode_batch,
+    syndromes_from_errors,
+)
+from qec_ldpc_tpu.decoder.layout import CirculantGraph
+from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_update
+
+__all__ = [
+    "BPConfig",
+    "CirculantGraph",
+    "CodeGraphs",
+    "DecodeResult",
+    "decode_batch",
+    "bp_run",
+    "cn_update",
+    "vn_update",
+    "syndromes_from_errors",
+    "SUCCESS",
+    "SYNDROME_FAIL_X",
+    "SYNDROME_FAIL_Z",
+    "CONVERGENCE_FAIL_X",
+    "CONVERGENCE_FAIL_Z",
+]

@@ -1,0 +1,109 @@
+"""Full X/Z decode with hard decision and error-code flags.
+
+Reproduces the semantics of ``DecoderCPU::Decode`` (``DecoderCPU.h:317-390``):
+decode the X and Z syndromes with BP, hard-decide each variable as flipped if
+**any** of its incident messages >= 0.5 (the reference's any-edge quirk,
+DecoderCPU.h:354-373 — not a posterior mean), flag per-sample convergence
+failures from a final CheckConvergence pass, and flag syndrome failures by
+re-encoding the decision and comparing syndromes.
+
+The reference runs X and Z as two OpenMP sections (DecoderCPU.h:329-345); here
+they are two batched BP runs inside one jit — XLA schedules them back to back
+on the same chip, and the batch axis supplies the parallelism.
+
+ErrorCode bitmask matches ``Decoder.h:14-23``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qec_ldpc_tpu.codes.css import QuantumLDPCCode
+from qec_ldpc_tpu.decoder.layout import CirculantGraph
+from qec_ldpc_tpu.decoder.sum_product import BPConfig, _not_converged_mask, bp_run
+
+# ErrorCode bit flags (Decoder.h:14-23)
+SUCCESS = 0
+SYNDROME_FAIL_X = 1
+SYNDROME_FAIL_Z = 2
+CONVERGENCE_FAIL_X = 4
+CONVERGENCE_FAIL_Z = 8
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class CodeGraphs:
+    """Static decode-time structure for one code: the X and Z circulant graphs."""
+
+    code: QuantumLDPCCode
+    x: CirculantGraph
+    z: CirculantGraph
+
+    @staticmethod
+    def build(code: QuantumLDPCCode) -> "CodeGraphs":
+        return CodeGraphs(
+            code=code,
+            x=CirculantGraph.from_table(code.hc, code.P),
+            z=CirculantGraph.from_table(code.hd, code.P),
+        )
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=("decisions_x", "decisions_z", "error_code", "iters_x", "iters_z"),
+         meta_fields=())
+@dataclasses.dataclass
+class DecodeResult:
+    """Batched decode output; all arrays have trailing batch axis."""
+
+    decisions_x: jnp.ndarray  # (num_vars, batch) int8 hard decisions
+    decisions_z: jnp.ndarray
+    error_code: jnp.ndarray   # (batch,) int32 bitmask
+    iters_x: jnp.ndarray      # () iterations executed by the batched loop
+    iters_z: jnp.ndarray
+
+
+def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig):
+    v, iters = bp_run(
+        graph, syndrome, prior,
+        max_iters=cfg.max_iters, check_every=cfg.check_every,
+        conv_low=cfg.conv_low, conv_high=cfg.conv_high,
+    )
+    # hard decision: any incident message >= 0.5 (DecoderCPU.h:354-373)
+    vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
+    decisions = jnp.any(vv >= cfg.hard_threshold, axis=0).astype(jnp.int8)
+    conv_fail = _not_converged_mask(v, cfg.conv_low, cfg.conv_high)  # (batch,)
+    # re-encode and compare syndromes (DecoderCPU.h:380-384)
+    s_hat = graph.syndrome(decisions.astype(jnp.int32))
+    syn_fail = jnp.any(s_hat != syndrome, axis=0)
+    return decisions, conv_fail, syn_fail, iters
+
+
+@partial(jax.jit, static_argnames=("graphs", "cfg"))
+def decode_batch(
+    graphs: CodeGraphs,
+    syndrome_x: jnp.ndarray,  # (J*P, batch) in {0,1}
+    syndrome_z: jnp.ndarray,  # (K*P, batch)
+    error_probability: jnp.ndarray | float,
+    cfg: BPConfig = BPConfig(),
+) -> DecodeResult:
+    prior = jnp.float32(cfg.prior_factor) * jnp.asarray(error_probability, jnp.float32)
+    dx, cfx, sfx, itx = _decode_one_graph(graphs.x, syndrome_x, prior, cfg)
+    dz, cfz, sfz, itz = _decode_one_graph(graphs.z, syndrome_z, prior, cfg)
+    code = (
+        sfx.astype(jnp.int32) * SYNDROME_FAIL_X
+        + sfz.astype(jnp.int32) * SYNDROME_FAIL_Z
+        + cfx.astype(jnp.int32) * CONVERGENCE_FAIL_X
+        + cfz.astype(jnp.int32) * CONVERGENCE_FAIL_Z
+    )
+    return DecodeResult(decisions_x=dx, decisions_z=dz, error_code=code,
+                        iters_x=itx, iters_z=itz)
+
+
+def syndromes_from_errors(
+    graphs: CodeGraphs, x_errors: jnp.ndarray, z_errors: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(num_vars, batch) error bits -> ((J*P, batch), (K*P, batch)) syndromes."""
+    return graphs.x.syndrome(x_errors), graphs.z.syndrome(z_errors)

@@ -1,0 +1,80 @@
+"""Per-sample outcome classification and counter reduction.
+
+Reproduces the classification lattice of the reference Monte-Carlo harness
+(``DecoderCPU.h:480-521``, SURVEY §3.4) exactly:
+
+  1. syndrome-fail X / Z counters increment independently;
+  2. only if *neither* syndrome failed, the residual (e + e_hat mod 2) in the
+     doubled [x; z] space is tested for a logical component
+     (``Quantum_LDPC_Code.h:126-142``) -> logicalErrors, else corrected;
+  3. convergence-fail X / Z counters increment orthogonally ("it can fail to
+     converge and still potentially produce a correct output").
+
+Counters are returned as a single int32 vector so multi-chip aggregation is a
+plain ``psum`` (replacing ``#pragma omp atomic``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from qec_ldpc_tpu.decoder.decode import (
+    CONVERGENCE_FAIL_X,
+    CONVERGENCE_FAIL_Z,
+    SYNDROME_FAIL_X,
+    SYNDROME_FAIL_Z,
+)
+
+# Counter vector layout (see harness/stats.py for the record mapping)
+NUM_COUNTERS = 9
+(C_TESTED, C_X_TESTED, C_Z_TESTED, C_CORRECTED, C_SYN_X, C_SYN_Z,
+ C_LOGICAL, C_CONV_X, C_CONV_Z) = range(NUM_COUNTERS)
+
+
+def logical_error_mask(i_minus_p: jnp.ndarray, residual_2n: jnp.ndarray) -> jnp.ndarray:
+    """(2n, batch) residual -> (batch,) bool: any row of iMinusP @ e odd.
+
+    Dense GF(2) matvec done as an MXU f32 matmul (0/1 entries; exact for
+    n < 2^23) followed by a parity test — the TPU shape of
+    ``Quantum_LDPC_Code.h:131-141``.
+    """
+    m = i_minus_p.astype(jnp.float32)
+    prod = jnp.dot(m, residual_2n.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    odd = jnp.mod(prod, 2.0) > 0.5
+    return jnp.any(odd, axis=0)
+
+
+def classify_batch(
+    i_minus_p: jnp.ndarray,
+    x_errors: jnp.ndarray,      # (n, batch) true errors
+    z_errors: jnp.ndarray,
+    x_decoded: jnp.ndarray,     # (n, batch) hard decisions
+    z_decoded: jnp.ndarray,
+    error_code: jnp.ndarray,    # (batch,) bitmask from decode_batch
+) -> jnp.ndarray:
+    """Returns int32 counter vector of length NUM_COUNTERS (summed over batch)."""
+    batch = error_code.shape[0]
+    x_tested = jnp.any(x_errors != 0, axis=0)
+    z_tested = jnp.any(z_errors != 0, axis=0)
+
+    syn_x = (error_code & SYNDROME_FAIL_X) != 0
+    syn_z = (error_code & SYNDROME_FAIL_Z) != 0
+    conv_x = (error_code & CONVERGENCE_FAIL_X) != 0
+    conv_z = (error_code & CONVERGENCE_FAIL_Z) != 0
+
+    undetected = ~(syn_x | syn_z)
+    residual = jnp.concatenate(
+        [(x_errors + x_decoded) % 2, (z_errors + z_decoded) % 2], axis=0
+    )
+    logical = logical_error_mask(i_minus_p, residual)
+    logical_cnt = undetected & logical
+    corrected_cnt = undetected & ~logical
+
+    def s(mask):
+        return jnp.sum(mask, dtype=jnp.int32)
+
+    return jnp.stack([
+        jnp.int32(batch), s(x_tested), s(z_tested), s(corrected_cnt),
+        s(syn_x), s(syn_z), s(logical_cnt), s(conv_x), s(conv_z),
+    ])

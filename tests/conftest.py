@@ -1,0 +1,50 @@
+"""Test configuration: force CPU with 8 virtual devices so multi-chip sharding
+logic is exercised without TPU hardware (SURVEY §4: multi-chip tests runnable
+on CPU via xla_force_host_platform_device_count)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+REFERENCE = pathlib.Path("/root/reference")
+SMALL_CODE_FILE = REFERENCE / "J_3_K_3_L_6_P_7_s_2_t_3.txt"
+CODE610_FILE = REFERENCE / "QEC_LDPC" / "code610.txt"
+
+
+@pytest.fixture(scope="session")
+def small_code():
+    from qec_ldpc_tpu.codes import load_code_file
+
+    return load_code_file(str(SMALL_CODE_FILE))
+
+
+@pytest.fixture(scope="session")
+def code610():
+    from qec_ldpc_tpu.codes import load_code_file
+
+    return load_code_file(str(CODE610_FILE))
+
+
+@pytest.fixture(scope="session")
+def small_graphs(small_code):
+    from qec_ldpc_tpu.decoder import CodeGraphs
+
+    return CodeGraphs.build(small_code)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,117 @@
+"""Construction + loader tests against the shipped reference code files."""
+
+import numpy as np
+import pytest
+
+from qec_ldpc_tpu.codes import (
+    construct_code,
+    expand_circulant,
+    exponents_from_pcm,
+    gf2_annihilator,
+    gf2_rref,
+    load_code_file,
+    save_code_file,
+)
+
+
+def test_small_code_construction_matches_file(small_code):
+    built = construct_code(3, 3, 6, 7, 2, 3)
+    assert np.array_equal(built.hc, small_code.hc)
+    assert np.array_equal(built.hd, small_code.hd)
+    assert np.array_equal(built.pcm_x, small_code.pcm_x % 2)
+    assert np.array_equal(built.pcm_z, small_code.pcm_z % 2)
+
+
+def test_code610_construction_matches_file(code610):
+    built = construct_code(4, 5, 10, 61, 9, 49)
+    assert np.array_equal(built.pcm_x, code610.pcm_x % 2)
+    assert np.array_equal(built.pcm_z, code610.pcm_z % 2)
+
+
+def test_css_orthogonality(small_code, code610):
+    # CSS condition: Hx @ Hz^T = 0 mod 2 for both shipped codes
+    for code in (small_code, code610):
+        prod = code.pcm_x.astype(np.int64) @ code.pcm_z.T.astype(np.int64)
+        assert (prod % 2).sum() == 0
+
+
+def test_regular_degrees(small_code):
+    # rows have weight L, columns have weight J (X) / K (Z)
+    assert (small_code.pcm_x.sum(axis=1) == small_code.L).all()
+    assert (small_code.pcm_x.sum(axis=0) == small_code.J).all()
+    assert (small_code.pcm_z.sum(axis=0) == small_code.K).all()
+
+
+def test_pretty_print_matches_reference_format(code610):
+    # exact operator<< format (Quantum_LDPC_Code.h:145-150) used in file names
+    assert str(code610) == "[J=4,K=5,L=10,P=61,s=9,t=49][[n=610,k=61]]"
+
+
+def test_exponent_roundtrip(small_code):
+    pcm = expand_circulant(small_code.hc, small_code.P)
+    rec = exponents_from_pcm(pcm, small_code.J, small_code.L, small_code.P)
+    assert np.array_equal(rec, small_code.hc)
+
+
+def test_syndrome_linearity(small_code, rng):
+    e1 = rng.integers(0, 2, small_code.n)
+    e2 = rng.integers(0, 2, small_code.n)
+    s12 = small_code.syndrome_x((e1 + e2) % 2)
+    s1 = small_code.syndrome_x(e1)
+    s2 = small_code.syndrome_x(e2)
+    assert np.array_equal(s12, (s1 + s2) % 2)
+
+
+def test_gf2_rref_properties(rng):
+    m = rng.integers(0, 2, (20, 30))
+    r, pivots = gf2_rref(m)
+    assert len(pivots) == r.shape[0]
+    # pivot columns form identity
+    assert np.array_equal(r[:, pivots], np.eye(len(pivots), dtype=r.dtype))
+
+
+def test_annihilator_kernel_is_rowspace(small_code, rng):
+    a = gf2_annihilator(small_code.pcm_x % 2)
+    # idempotent
+    assert np.array_equal(a.astype(np.int64) @ a % 2, a % 2)
+    # kills exactly the rowspace: random rowspace combos -> 0
+    for _ in range(10):
+        coeff = rng.integers(0, 2, small_code.pcm_x.shape[0])
+        v = coeff @ small_code.pcm_x % 2
+        assert (a.astype(np.int64) @ v % 2).sum() == 0
+
+
+def test_built_i_minus_p_classifies_like_file(small_code, rng):
+    """The shipped iMinusP and the GF(2)-constructed one must induce identical
+    logical/harmless classification (same kernel), though not bit-equal."""
+    from qec_ldpc_tpu.codes import build_i_minus_p
+
+    built = build_i_minus_p(small_code.pcm_x % 2, small_code.pcm_z % 2)
+    file_m = small_code.i_minus_p.astype(np.int64) % 2
+    n2 = 2 * small_code.n
+    # directed test on random vectors plus rowspace vectors
+    for _ in range(50):
+        e = rng.integers(0, 2, n2)
+        assert ((file_m @ e) % 2).any() == ((built.astype(np.int64) @ e) % 2).any()
+    # structural: kernels contain each other's row spaces
+    # ker(built) = rowspace(diag(Hx,Hz)); file matrix must kill those too
+    ex = rng.integers(0, 2, small_code.pcm_x.shape[0]) @ small_code.pcm_x % 2
+    ez = rng.integers(0, 2, small_code.pcm_z.shape[0]) @ small_code.pcm_z % 2
+    stab = np.concatenate([ex, ez])
+    assert ((file_m @ stab) % 2).sum() == 0
+
+
+def test_save_load_roundtrip(tmp_path):
+    code = construct_code(3, 3, 6, 7, 2, 3)
+    path = tmp_path / "roundtrip.txt"
+    save_code_file(code, str(path))
+    loaded = load_code_file(str(path))
+    assert np.array_equal(loaded.pcm_x % 2, code.pcm_x)
+    assert np.array_equal(loaded.pcm_z % 2, code.pcm_z)
+    assert np.array_equal(loaded.i_minus_p % 2, code.i_minus_p % 2)
+    assert (loaded.J, loaded.K, loaded.L, loaded.P) == (3, 3, 6, 7)
+
+
+def test_construct_rejects_noninvertible_sigma():
+    with pytest.raises(ValueError):
+        construct_code(3, 3, 6, 9, 3, 2)  # gcd(3, 9) != 1
