@@ -71,17 +71,19 @@ def _not_converged_mask(v: jnp.ndarray, low: float, high: float) -> jnp.ndarray:
     return jnp.any(inside, axis=0)
 
 
-def cn_update(graph: CirculantGraph, v: jnp.ndarray, syndrome_sign: jnp.ndarray) -> jnp.ndarray:
+def cn_update(graph: CirculantGraph, v: jnp.ndarray, syndrome_sign_half: jnp.ndarray) -> jnp.ndarray:
     """Check-node update. v, result: check-indexed (num_edges, batch).
 
-    syndrome_sign: per-edge rows (num_edges, batch) = 1 - 2*syndrome, so that
-    E = 0.5 * (1 - sign * prod_{l' != l}(1 - 2 v)) reproduces both branches of
-    DecoderCPU.h:178-183 with a single fused expression.
+    syndrome_sign_half: per-edge rows (num_edges, batch) = 0.5 - syndrome
+    (i.e. +-0.5, exact in float), so that
+    E = 0.5 - sgn_half * prod_{l' != l}(1 - 2 v) reproduces both branches of
+    DecoderCPU.h:178-183 with a single fused expression whose rounding
+    sequence is identical to the Pallas kernel's.
     """
     t = graph.cn_view(1.0 - 2.0 * v)          # (B, L, P*batch)
     loo = _loo_products([t[:, i] for i in range(graph.L)])
     prod = jnp.stack(loo, axis=1).reshape(v.shape)
-    return 0.5 * (1.0 - syndrome_sign * prod)
+    return 0.5 - syndrome_sign_half * prod
 
 
 def vn_update(
@@ -97,8 +99,10 @@ def vn_update(
     terms_m = [1.0 - ev[i] for i in range(graph.B)]
     loo_p = _loo_products(terms_p)
     loo_m = _loo_products(terms_m)
-    full_p = loo_p[0] * terms_p[0]
-    full_m = loo_m[0] * terms_m[0]
+    # full product in ascending-index association order (== loo of the last
+    # element times the last element) so the Pallas kernel matches bit-for-bit
+    full_p = loo_p[-1] * terms_p[-1]
+    full_m = loo_m[-1] * terms_m[-1]
     prod_p = jnp.stack([jnp.where(last, full_p, lp) for lp in loo_p])
     prod_m = jnp.stack([jnp.where(last, full_m, lm) for lm in loo_m])
     num = prior * prod_p
@@ -124,10 +128,12 @@ def bp_run(
     hard decisions and the final convergence flags are derived.
     """
     batch = syndrome.shape[-1]
-    sign = graph.expand_checks(1.0 - 2.0 * syndrome.astype(jnp.float32))
+    sign = graph.expand_checks(0.5 - syndrome.astype(jnp.float32))
     prior = jnp.asarray(prior, dtype=jnp.float32)
-    v0 = jnp.broadcast_to(prior, (graph.num_edges, batch)).astype(jnp.float32)
-    done0 = jnp.zeros((batch,), dtype=bool)
+    # derive the initial carry from the (possibly device-varying) syndrome so
+    # its sharding type matches the loop body's outputs under shard_map
+    v0 = jnp.broadcast_to(prior, (graph.num_edges, batch)).astype(jnp.float32) + 0.0 * sign
+    done0 = jnp.any(syndrome < 0, axis=0)  # all-False, syndrome-typed
 
     def cond(state):
         n, _, done = state
@@ -138,13 +144,11 @@ def bp_run(
         e = cn_update(graph, v, sign)
         v_new = vn_update(graph, e, prior, last=(n == max_iters - 1))
         v_new = jnp.where(done[None, :], v, v_new)
+        # convergence test every check_every iterations, starting at n=0
+        # (plain masking, not lax.cond: branch result types diverge under
+        # shard_map's varying-axes tracking, and the test is one cheap pass)
         check_now = (n % check_every) == 0
-        conv = jax.lax.cond(
-            check_now,
-            lambda vv: ~_not_converged_mask(vv, conv_low, conv_high),
-            lambda vv: jnp.zeros((batch,), dtype=bool),
-            v_new,
-        )
+        conv = check_now & ~_not_converged_mask(v_new, conv_low, conv_high)
         return n + 1, v_new, done | conv
 
     n_final, v_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), v0, done0))

@@ -1,0 +1,114 @@
+"""Experiment CLI: init-file-compatible weight-sweep driver.
+
+TPU re-design of ``main.cu:43-118``: opens an append-mode run log, parses the
+init file, loads (or constructs) the code, sweeps weights w..W, runs the
+Monte-Carlo harness for each, and appends a CodeStatistics text dump to
+``results/<code>_W_<w>_MAX_<M>_p_<p>.txt`` with the reference's exact record
+format and file naming.  Framework extensions: seeded runs, JSONL progress
+journal with chunk-exact resume, device-mesh scale-out, min-sum selection,
+structured logging with device/topology metadata.
+
+Usage:
+    python -m qec_ldpc_tpu.harness.cli <init-file>
+    python -m qec_ldpc_tpu.harness.cli --code J,K,L,P,sigma,tau [options...]
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import random
+import sys
+import time
+
+import jax
+
+from qec_ldpc_tpu.codes import construct_code, load_code_file
+from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+from qec_ldpc_tpu.harness.config import RunConfig, format_result_filename, load_init_file
+from qec_ldpc_tpu.harness.journal import Journal
+from qec_ldpc_tpu.harness.stats import CodeStatistics
+from qec_ldpc_tpu.parallel import make_mesh, maybe_init_distributed, run_monte_carlo
+
+
+def _log(fh, msg: str) -> None:
+    line = f"{msg}"
+    print(line)
+    fh.write(line + "\n")
+    fh.flush()
+
+
+def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
+    maybe_init_distributed()
+    os.makedirs(cfg.results_dir, exist_ok=True)
+    log = open(cfg.log_file, "a")  # append-mode run log (main.cu:45-52)
+    log.write("\n" + datetime.datetime.now().ctime() + "\n")
+
+    code = load_code_file(cfg.code_file)
+    graphs = CodeGraphs.build(code)
+    bp_cfg = cfg.bp_config()
+    seed = cfg.seed if cfg.seed is not None else random.SystemRandom().getrandbits(32)
+
+    devices = jax.devices()
+    mesh = make_mesh() if (cfg.use_mesh and len(devices) > 1) else None
+    _log(log, f"Initializing run for code {code} on {len(devices)} device(s) "
+              f"({devices[0].platform}); seed={seed}")
+
+    journal = Journal(os.path.join(cfg.results_dir, "journal.jsonl"))
+    run_id = f"{code}|COUNT={cfg.count}|MAX={cfg.max_iterations}|p={cfg.error_probability:g}|seed={seed}"
+
+    all_stats: list[CodeStatistics] = []
+    for w in range(cfg.weight_start, cfg.weight_end + 1):
+        fname = format_result_filename(str(code), w, cfg.max_iterations,
+                                       cfg.error_probability)
+        out_path = os.path.join(cfg.results_dir, fname)
+        _log(log, out_path)
+
+        start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
+        if start_chunk:
+            _log(log, f"  resuming W={w} at chunk {start_chunk}")
+
+        def on_chunk(c, num_chunks, counters, iters, _w=w):
+            journal.append({
+                "run_id": run_id, "weight": _w, "chunk": c,
+                "counters": [int(x) for x in counters], "iters": iters,
+            })
+
+        t0 = time.perf_counter()
+        counters, bp_iters = run_monte_carlo(
+            graphs, w, cfg.count, cfg.error_probability, bp_cfg, seed + w,
+            batch_size=cfg.batch_size, mesh=mesh, error_model=cfg.error_model,
+            progress=on_chunk, start_chunk=start_chunk,
+            init_counters=init_counters,
+        )
+        duration_us = int((time.perf_counter() - t0) * 1e6)
+
+        stats = CodeStatistics.from_counters(
+            code, seed + w, w, counters, duration_us,
+            total_bp_iterations=bp_iters + init_iters,
+            num_devices=len(devices))
+        all_stats.append(stats)
+        # append-mode per-weight results file (main.cu:100)
+        with open(out_path, "a") as f:
+            f.write(stats.to_reference_text() + "\n\n")
+        _log(log, f"  W={w}: {stats.num_errors_tested} samples, "
+                  f"corrected={stats.corrected}, logical={stats.logical_errors}, "
+                  f"{stats.samples_per_second:,.0f} samples/s")
+
+    _log(log, "Run complete.")
+    log.close()
+    return all_stats
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        print("Usage: python -m qec_ldpc_tpu.harness.cli <init-file>", file=sys.stderr)
+        return 2
+    cfg = load_init_file(argv[0])
+    run_sweep(cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""Run configuration: dataclasses + reference init-file compatibility.
+
+The reference drives experiments from a 6-line positional init file
+(``main.cu:74-89``; example ``QEC_LDPC/init.txt``):
+    codeFile / w / W / COUNT / MAX_ITERATIONS / p
+The hard-coded constants of the reference decode loop are surfaced here as
+defaulted fields (SURVEY §5 config inventory).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from qec_ldpc_tpu.decoder.sum_product import BPConfig
+
+
+@dataclasses.dataclass
+class RunConfig:
+    code_file: str
+    weight_start: int
+    weight_end: int
+    count: int
+    max_iterations: int
+    error_probability: float
+    #: framework extensions
+    seed: int | None = None
+    batch_size: int = 1024
+    results_dir: str = "results"
+    log_file: str = "output_log.txt"
+    algorithm: str = "sum-product"   # or "min-sum"
+    error_model: str = "weight"      # or "depolarizing"
+    use_mesh: bool = True            # shard over all local devices
+
+    def bp_config(self) -> BPConfig:
+        return BPConfig(max_iters=self.max_iterations)
+
+
+def load_init_file(path: str) -> RunConfig:
+    """Parse the reference init format: 6 whitespace-separated tokens
+    (``main.cu:74-89``).  Extra ``key=value`` tokens extend the format."""
+    tokens: list[str] = []
+    extras: dict[str, str] = {}
+    with open(path) as f:
+        for raw in f.read().split():
+            if "=" in raw:
+                k, v = raw.split("=", 1)
+                extras[k] = v
+            else:
+                tokens.append(raw)
+    if len(tokens) < 6:
+        raise ValueError(
+            f"init file {path!r}: expected 6 positional values "
+            f"(codeFile w W COUNT MAX_ITERATIONS p), got {len(tokens)}")
+    cfg = RunConfig(
+        code_file=tokens[0],
+        weight_start=int(tokens[1]),
+        weight_end=int(tokens[2]),
+        count=int(tokens[3]),
+        max_iterations=int(tokens[4]),
+        error_probability=float(tokens[5]),
+    )
+    for k, v in extras.items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"init file {path!r}: unknown option {k!r}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int) or (cur is None and k == "seed"):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        setattr(cfg, k, v)
+    return cfg
+
+
+def format_result_filename(code_str: str, weight: int, max_iterations: int,
+                           error_probability: float) -> str:
+    """Result-file naming of the reference harness (``main.cu:93-97``):
+    ``<code>_W_<w>_MAX_<M>_p_<p>.txt`` with spaces stripped and the float
+    printed like C++ default ostream (up to 6 significant digits)."""
+    p_str = f"{error_probability:g}"
+    name = f"{code_str}_W_{weight}_MAX_{max_iterations}_p_{p_str}.txt"
+    return name.replace(" ", "")

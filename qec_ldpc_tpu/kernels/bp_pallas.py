@@ -1,0 +1,255 @@
+"""Fused Pallas TPU kernel for sum-product BP over a circulant Tanner graph.
+
+The XLA path (decoder/sum_product.py) is HBM-bandwidth-bound: every op in the
+iteration round-trips the (edges, batch) message tensor through HBM
+(~0.35 ms/iteration at batch 2048 on v5e).  This kernel keeps the entire BP
+state resident in VMEM across all iterations — HBM traffic is one syndrome
+read and one message write per decode.
+
+Replaces the reference CUDA path (``kernels.cu:33-250``): where CUDA used one
+thread per Tanner edge and device-side child grids (dynamic parallelism), the
+TPU kernel vectorizes each P x batch circulant block on the VPU, walks the
+J x L (K x L) block grid in an unrolled schedule, and routes messages between
+check- and variable-ordering with the MXU.
+
+Performance design (hard-won on v5e):
+  * Blocks are stored padded to a 64-row stride and ALL elementwise ops run
+    on full 64-row tiles — 61-row partial-tile slices force masked
+    read-modify-write sequences that cost ~30x the arithmetic.
+  * The mod-P cyclic rolls (the message routing) are implemented as matmuls
+    with per-block 64x64 permutation matrices on the MXU.  For 0/1 matrices
+    an f32 MXU matmul is EXACT (each output is a single product by 1.0; the
+    bf16x3 decomposition of f32 reproduces it bit-for-bit), so routing does
+    not perturb numerics.  Pad rows have all-zero matrix columns, so junk
+    never propagates.
+  * The done-mask lives in VMEM scratch as f32 — carrying a bool vector in
+    the `lax.while_loop` carry fails Mosaic legalization (scf.yield with
+    vector<8x128xi1>), so the loop carry is scalars only.
+
+Numerics match decoder/sum_product.py bit-for-bit on every iteration except
+that XLA may reassociate the final posterior-forming iteration's products by
+1 ulp (observed <= 6e-11); tests pin this tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from qec_ldpc_tpu.decoder.layout import CirculantGraph
+
+
+def _roll_matrices(graph: CirculantGraph, blk: int) -> np.ndarray:
+    """Per-block routing matrices, stacked ((2*B*L)*blk, blk) f32.
+
+    Entry [ (b*L+l)*blk + q, r ]         = 1 iff r = (q - C[b,l]) % P  (to_var)
+    Entry [ (B*L + b*L+l)*blk + r, q ]   = 1 iff q = (r + C[b,l]) % P  (to_check)
+    Rows/cols >= P are zero, so pad lanes contribute nothing.
+    """
+    B, L, P = graph.B, graph.L, graph.P
+    out = np.zeros((2 * B * L * blk, blk), dtype=np.float32)
+    q = np.arange(P)
+    for b in range(B):
+        for l in range(L):
+            c = int(graph.table[b, l])
+            i = b * L + l
+            out[i * blk + q, (q - c) % P] = 1.0
+            out[(B * L + i) * blk + q, (q + c) % P] = 1.0
+    return out
+
+
+def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
+                  conv_low: float, conv_high: float, blk: int):
+    B, L, P = graph.B, graph.L, graph.P
+    NB = B * L
+
+    def kernel(prior_ref, rolls_ref, syn_ref, v_out_ref, iters_ref,
+               v_ref, e_ref, sgn_ref, done_ref):
+        prior = prior_ref[0]
+        bt = syn_ref.shape[-1]
+
+        def mat(i):
+            return rolls_ref[i * blk:(i + 1) * blk, :]
+
+        def vblock(b, l):
+            base = (b * L + l) * blk
+            return v_ref[base:base + blk, :]
+
+        # 0.5 * (1 - 2*syndrome) staged per padded block row (pad rows: 0.5,
+        # harmless — their E values never route anywhere)
+        sgn_ref[:] = jnp.full((B * blk, bt), 0.5, jnp.float32)
+        for b in range(B):
+            sgn_ref[b * blk:b * blk + P, :] = (
+                0.5 - syn_ref[b * P:(b + 1) * P, :].astype(jnp.float32))
+
+        # init messages: prior on valid rows, 0 on pad rows (pad rows then
+        # read as converged/no-error everywhere: t = 1-2*0 = 1 in products)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (NB * blk, bt), 0)
+        v_ref[:] = jnp.where(rows % blk < P, prior, 0.0)
+        done_ref[:] = jnp.zeros((8, bt), jnp.float32)
+
+        def iteration(n):
+            last = n == max_iters - 1
+            done = done_ref[0:1, :] > 0.5
+            # -- check-node update (DecoderCPU.h:150-186), full 64-row tiles --
+            for b in range(B):
+                ts = [1.0 - 2.0 * vblock(b, l) for l in range(L)]
+                ones = jnp.ones_like(ts[0])
+                pre = [ones] * L
+                for i in range(1, L):
+                    pre[i] = pre[i - 1] * ts[i - 1]
+                suf = [ones] * L
+                for i in range(L - 2, -1, -1):
+                    suf[i] = suf[i + 1] * ts[i + 1]
+                sgn_b = sgn_ref[b * blk:(b + 1) * blk, :]
+                for l in range(L):
+                    base = (b * L + l) * blk
+                    e_ref[base:base + blk, :] = 0.5 - sgn_b * (pre[l] * suf[l])
+
+            # -- variable-node update (DecoderCPU.h:188-229), MXU routing --
+            for l in range(L):
+                evs = []
+                for b in range(B):
+                    i = b * L + l
+                    # ev[q] = E[(q - C) % P]; pad rows -> 0
+                    evs.append(jnp.dot(mat(i), e_ref[i * blk:(i + 1) * blk, :],
+                                       preferred_element_type=jnp.float32))
+                ems = [1.0 - ev for ev in evs]
+                ones = jnp.ones_like(evs[0])
+                pre_p = [ones] * B
+                pre_m = [ones] * B
+                for i in range(1, B):
+                    pre_p[i] = pre_p[i - 1] * evs[i - 1]
+                    pre_m[i] = pre_m[i - 1] * ems[i - 1]
+                suf_p = [ones] * B
+                suf_m = [ones] * B
+                for i in range(B - 2, -1, -1):
+                    suf_p[i] = suf_p[i + 1] * evs[i + 1]
+                    suf_m[i] = suf_m[i + 1] * ems[i + 1]
+                full_p = pre_p[-1] * evs[-1]
+                full_m = pre_m[-1] * ems[-1]
+                for b in range(B):
+                    prod_p = jnp.where(last, full_p, pre_p[b] * suf_p[b])
+                    prod_m = jnp.where(last, full_m, pre_m[b] * suf_m[b])
+                    num = prior * prod_p
+                    den = (1.0 - prior) * prod_m + num
+                    vv = num / den
+                    i = b * L + l
+                    # back to check order: out[r] = vv[(r + C) % P]; pads -> 0
+                    rolled = jnp.dot(mat(NB + i), vv,
+                                     preferred_element_type=jnp.float32)
+                    old = v_ref[i * blk:(i + 1) * blk, :]
+                    v_ref[i * blk:(i + 1) * blk, :] = jnp.where(done, old, rolled)
+
+        def not_converged():
+            # per-lane: some nonzero message strictly inside (low, high)
+            # (CheckConvergence, DecoderCPU.h:231-246); pad rows are 0
+            v = v_ref[:]
+            inside = (v != 0.0) & (v > conv_low) & (v < conv_high)
+            return jnp.any(inside, axis=0, keepdims=True)  # (1, bt)
+
+        def cond(state):
+            n, alldone = state
+            return (n < max_iters) & (alldone == 0)
+
+        def body(state):
+            n, _ = state
+            iteration(n)
+
+            @pl.when((n % check_every) == 0)
+            def _():
+                conv = jnp.where(not_converged(), 0.0, 1.0)
+                prev = done_ref[0:1, :]
+                done_ref[0:1, :] = jnp.maximum(prev, conv)
+
+            alldone = (jnp.min(done_ref[0:1, :]) > 0.5).astype(jnp.int32)
+            return n + 1, alldone
+
+        n_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+
+        # copy padded scratch back to the dense (B*L*P, bt) output layout
+        for i in range(NB):
+            v_out_ref[i * P:(i + 1) * P, :] = v_ref[i * blk:i * blk + P, :]
+        iters_ref[:] = jnp.full((1, bt), n_final, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("graph", "max_iters", "check_every", "conv_low",
+                     "conv_high", "tile_batch", "interpret"))
+def bp_run_pallas(
+    graph: CirculantGraph,
+    syndrome: jnp.ndarray,   # (num_checks, batch) in {0,1}
+    prior: jnp.ndarray,      # scalar channel prior (already 2/3-scaled)
+    max_iters: int,
+    check_every: int = 10,
+    conv_low: float = 0.01,
+    conv_high: float = 0.99,
+    tile_batch: int = 512,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Drop-in fused-kernel equivalent of sum_product.bp_run.
+
+    Returns (v_final (num_edges, batch), iters (batch,)): iters is the
+    per-tile executed iteration count (each batch tile early-exits
+    independently when all its lanes converge).
+    """
+    num_checks, batch = syndrome.shape
+    if batch % tile_batch != 0:
+        raise ValueError(f"batch {batch} not divisible by tile_batch {tile_batch}")
+    num_tiles = batch // tile_batch
+    B, L, P = graph.B, graph.L, graph.P
+    E_rows = graph.num_edges
+    blk = -(-P // 8) * 8  # block stride aligned to the f32 sublane tile
+
+    kernel = _build_kernel(graph, max_iters, check_every, conv_low, conv_high, blk)
+    prior_arr = jnp.reshape(jnp.asarray(prior, jnp.float32), (1,))
+    rolls = jnp.asarray(_roll_matrices(graph, blk))
+
+    scratch_bytes = (2 * B * L * blk + B * blk + 8) * tile_batch * 4
+    # io blocks are double-buffered across grid steps; leave generous margin
+    io_bytes = 2 * (E_rows + num_checks + 64) * tile_batch * 4
+    vmem_limit = min(110 * 1024 * 1024,
+                     scratch_bytes + io_bytes + rolls.size * 4 + (8 << 20))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((2 * B * L * blk, blk), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_checks, tile_batch), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((E_rows, tile_batch), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_batch), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B * L * blk, tile_batch), jnp.float32),  # V messages
+            pltpu.VMEM((B * L * blk, tile_batch), jnp.float32),  # E messages
+            pltpu.VMEM((B * blk, tile_batch), jnp.float32),      # 0.5*sign
+            pltpu.VMEM((8, tile_batch), jnp.float32),            # done mask
+        ],
+    )
+    v_final, iters = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((E_rows, batch), jnp.float32),
+            jax.ShapeDtypeStruct((1, batch), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        interpret=interpret,
+    )(prior_arr, rolls, syndrome.astype(jnp.int32))
+    return v_final, iters[0]

@@ -1,0 +1,25 @@
+from qec_ldpc_tpu.parallel.mesh import (
+    DATA_AXIS,
+    GRAPH_AXIS,
+    batch_sharding,
+    make_mesh,
+    maybe_init_distributed,
+    replicated,
+)
+from qec_ldpc_tpu.parallel.montecarlo import (
+    make_sharded_chunk,
+    mc_chunk,
+    run_monte_carlo,
+)
+
+__all__ = [
+    "DATA_AXIS",
+    "GRAPH_AXIS",
+    "make_mesh",
+    "maybe_init_distributed",
+    "batch_sharding",
+    "replicated",
+    "mc_chunk",
+    "make_sharded_chunk",
+    "run_monte_carlo",
+]

@@ -1,0 +1,91 @@
+"""Harness tests: init parsing, result naming/format parity, journal resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+from qec_ldpc_tpu.harness import (
+    CodeStatistics,
+    Journal,
+    RunConfig,
+    format_result_filename,
+    load_init_file,
+    parse_reference_text,
+)
+
+REF_INIT = "/root/reference/QEC_LDPC/init.txt"
+REF_RESULT = ("/root/reference/QEC_LDPC/results/"
+              "[J=4,K=5,L=10,P=61,s=9,t=49][[n=610,k=61]]_W_15_MAX_100_p_0.01.txt")
+
+
+def test_load_reference_init_file():
+    cfg = load_init_file(REF_INIT)
+    assert cfg.code_file == "code610.txt"
+    assert cfg.weight_start == 15 and cfg.weight_end == 15
+    assert cfg.count == 100000
+    assert cfg.max_iterations == 100
+    assert cfg.error_probability == pytest.approx(0.01)
+
+
+def test_init_file_extensions(tmp_path):
+    p = tmp_path / "init.txt"
+    p.write_text("code.txt 1 3 1000 50 0.02 seed=7 batch_size=256 algorithm=min-sum\n")
+    cfg = load_init_file(str(p))
+    assert cfg.seed == 7 and cfg.batch_size == 256 and cfg.algorithm == "min-sum"
+
+
+def test_init_file_rejects_unknown_key(tmp_path):
+    p = tmp_path / "init.txt"
+    p.write_text("code.txt 1 3 1000 50 0.02 bogus=1\n")
+    with pytest.raises(ValueError):
+        load_init_file(str(p))
+
+
+def test_result_filename_matches_golden_corpus(code610):
+    # the actual filename shipped in the reference results directory
+    name = format_result_filename(str(code610), 15, 100, 0.01)
+    assert name == "[J=4,K=5,L=10,P=61,s=9,t=49][[n=610,k=61]]_W_15_MAX_100_p_0.01.txt"
+    assert os.path.exists(os.path.join(os.path.dirname(REF_RESULT), name))
+
+
+def test_stats_text_format_matches_reference(code610):
+    """Our serialization must produce the same keys in the same order as the
+    reference operator<< (checked against the real golden file)."""
+    counters = np.array([100000, 100000, 100000, 99539, 209, 251, 1, 0, 0])
+    stats = CodeStatistics.from_counters(code610, 2287037912, 15, counters, 112731735)
+    ours = parse_reference_text(stats.to_reference_text())[0]
+    golden = parse_reference_text(open(REF_RESULT).read())[0]
+    assert list(ours.keys()) == list(golden.keys())
+    assert ours == golden  # byte-identical field values for the golden numbers
+
+
+def test_journal_resume(tmp_path):
+    j = Journal(str(tmp_path / "journal.jsonl"))
+    for c in range(3):
+        j.append({"run_id": "r1", "weight": 5, "chunk": c,
+                  "counters": [10, 1, 2, 3, 4, 5, 6, 7, 8], "iters": 100})
+    j.append({"run_id": "r1", "weight": 6, "chunk": 0,
+              "counters": [10, 0, 0, 0, 0, 0, 0, 0, 0], "iters": 50})
+    j.close()
+    j2 = Journal(str(tmp_path / "journal.jsonl"))
+    next_chunk, counters, iters = j2.resume_state("r1", 5)
+    assert next_chunk == 3
+    assert counters[0] == 30 and iters == 300
+    next_chunk, counters, iters = j2.resume_state("r1", 6)
+    assert next_chunk == 1
+    next_chunk, counters, iters = j2.resume_state("r2", 5)
+    assert next_chunk == 0 and counters is None
+
+
+def test_journal_tolerates_torn_line(tmp_path):
+    path = tmp_path / "journal.jsonl"
+    j = Journal(str(path))
+    j.append({"run_id": "r", "weight": 1, "chunk": 0,
+              "counters": [1] * 9, "iters": 1})
+    j.close()
+    with open(path, "a") as f:
+        f.write('{"run_id": "r", "weight": 1, "chu')  # crash mid-write
+    j2 = Journal(str(path))
+    next_chunk, counters, iters = j2.resume_state("r", 1)
+    assert next_chunk == 1
