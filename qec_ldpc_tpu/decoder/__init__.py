@@ -10,10 +10,12 @@ from qec_ldpc_tpu.decoder.decode import (
     syndromes_from_errors,
 )
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
+from qec_ldpc_tpu.decoder.min_sum import min_sum_run
 from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_update
 
 __all__ = [
     "BPConfig",
+    "min_sum_run",
     "CirculantGraph",
     "CodeGraphs",
     "DecodeResult",

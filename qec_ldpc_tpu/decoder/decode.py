@@ -24,6 +24,11 @@ import jax.numpy as jnp
 
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
+from qec_ldpc_tpu.decoder.min_sum import (
+    _not_converged_mask_llr,
+    min_sum_run,
+    np_log_band,
+)
 from qec_ldpc_tpu.decoder.sum_product import BPConfig, _not_converged_mask, bp_run
 
 # ErrorCode bit flags (Decoder.h:14-23)
@@ -66,15 +71,27 @@ class DecodeResult:
 
 
 def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig):
-    v, iters = bp_run(
-        graph, syndrome, prior,
-        max_iters=cfg.max_iters, check_every=cfg.check_every,
-        conv_low=cfg.conv_low, conv_high=cfg.conv_high,
-    )
-    # hard decision: any incident message >= 0.5 (DecoderCPU.h:354-373)
-    vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
-    decisions = jnp.any(vv >= cfg.hard_threshold, axis=0).astype(jnp.int8)
-    conv_fail = _not_converged_mask(v, cfg.conv_low, cfg.conv_high)  # (batch,)
+    if cfg.algorithm == "min-sum":
+        v, iters = min_sum_run(
+            graph, syndrome, prior,
+            max_iters=cfg.max_iters, check_every=cfg.check_every,
+            conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+        )
+        # LLR images of the reference's probability-domain semantics:
+        # "any incident message >= 0.5" <=> any incident llr <= 0
+        vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
+        decisions = jnp.any(vv <= 0.0, axis=0).astype(jnp.int8)
+        conv_fail = _not_converged_mask_llr(v, np_log_band(cfg.conv_low))
+    else:
+        v, iters = bp_run(
+            graph, syndrome, prior,
+            max_iters=cfg.max_iters, check_every=cfg.check_every,
+            conv_low=cfg.conv_low, conv_high=cfg.conv_high,
+        )
+        # hard decision: any incident message >= 0.5 (DecoderCPU.h:354-373)
+        vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
+        decisions = jnp.any(vv >= cfg.hard_threshold, axis=0).astype(jnp.int8)
+        conv_fail = _not_converged_mask(v, cfg.conv_low, cfg.conv_high)  # (batch,)
     # re-encode and compare syndromes (DecoderCPU.h:380-384)
     s_hat = graph.syndrome(decisions.astype(jnp.int32))
     syn_fail = jnp.any(s_hat != syndrome, axis=0)

@@ -44,6 +44,11 @@ class BPConfig:
     #: (the X-or-Y marginal of a uniform X/Y/Z error, DecoderCPU.h:259,325)
     prior_factor: float = 2.0 / 3.0
     hard_threshold: float = 0.5
+    #: "sum-product" (probability domain, reference-faithful) or "min-sum"
+    #: (normalized min-sum in LLR domain, decoder/min_sum.py)
+    algorithm: str = "sum-product"
+    #: normalization factor for min-sum check-node messages
+    min_sum_alpha: float = 0.75
 
 
 def _loo_products(terms: list[jnp.ndarray]) -> list[jnp.ndarray]:

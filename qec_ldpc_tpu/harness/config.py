@@ -32,7 +32,7 @@ class RunConfig:
     use_mesh: bool = True            # shard over all local devices
 
     def bp_config(self) -> BPConfig:
-        return BPConfig(max_iters=self.max_iterations)
+        return BPConfig(max_iters=self.max_iterations, algorithm=self.algorithm)
 
 
 def load_init_file(path: str) -> RunConfig:
