@@ -6,6 +6,7 @@ from qec_ldpc_tpu.parallel.mesh import (
     maybe_init_distributed,
     replicated,
 )
+from qec_ldpc_tpu.parallel.graph_sharded import make_graph_sharded_decoder
 from qec_ldpc_tpu.parallel.montecarlo import (
     make_sharded_chunk,
     mc_chunk,
@@ -13,6 +14,7 @@ from qec_ldpc_tpu.parallel.montecarlo import (
 )
 
 __all__ = [
+    "make_graph_sharded_decoder",
     "DATA_AXIS",
     "GRAPH_AXIS",
     "make_mesh",

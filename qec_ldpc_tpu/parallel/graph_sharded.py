@@ -1,0 +1,285 @@
+"""Tanner-graph-sharded BP: block-columns split across a ``graph`` mesh axis.
+
+The reference decodes one whole graph per host thread (``DecoderCPU.h``);
+nothing in it distributes a single Tanner graph.  This module supplies the
+required scale-out design for large lifted QC codes (BASELINE config 5:
+"Tanner-graph + batch sharding, halo message exchange via ICI collectives"):
+
+**Sharding choice.**  Both PCMs of a QC-CSS code are B x L grids of P x P
+circulants with a shared block-column (variable) axis of length L.  We shard
+*block-columns* (variables) over the ``graph`` mesh axis (G devices, G | L)
+and Monte-Carlo batch over the ``data`` axis:
+
+  * **Variable-node updates are fully local** — every check message a
+    variable consumes lives on the device that owns its column, and the
+    per-block cyclic-roll routing (check- <-> var-order) stays device-local.
+  * **Check-node updates need one small collective** — the leave-one-out
+    product over a check's L incident variables factors into
+    (local leave-one-out over L/G cols) x (product of the other devices'
+    per-check partials).  Each device computes its per-block-row partial
+    product (B*P rows — a factor L/G smaller than the edge state) and one
+    ``all_gather`` over the graph axis exchanges them.  This is the halo
+    message exchange, and it rides ICI as a single fused collective per BP
+    iteration.
+  * Statistics reductions (`psum`) ride the data axis exactly as in
+    parallel/montecarlo.py.
+
+Per-iteration communication: (G-1) * B * P * batch_local floats received per
+device vs B * L * P * batch_local floats of resident edge state — the
+communication:compute ratio falls as G/L, so the design scales to meshes with
+G << L block-columns per device and stays ICI-friendly (nearest-neighbor
+all-gather ring) on larger codes.
+
+**Why rolls stay local but device-varying.**  shard_map traces one program for
+all devices, so each device's circulant shifts (its columns' exponents) cannot
+be baked in as static slices.  Instead each device receives its own stack of
+P x P permutation matrices as a *sharded operand* and applies them as batched
+matmuls (exact for 0/1 matrices at HIGHEST precision).  No gathers, static
+shapes — the constraints the TPU toolchain imposes on loop bodies.
+
+Numerics: the cross-device product reassociates the reference's serial
+accumulation (DecoderCPU.h:170-176), so the graph-sharded decoder is
+*statistically* equivalent to decoder/sum_product.py, not bit-exact; tests pin
+decision equality and message agreement to float tolerance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from qec_ldpc_tpu.decoder.decode import (
+    CONVERGENCE_FAIL_X,
+    CONVERGENCE_FAIL_Z,
+    SYNDROME_FAIL_X,
+    SYNDROME_FAIL_Z,
+    CodeGraphs,
+)
+from qec_ldpc_tpu.decoder.layout import CirculantGraph
+from qec_ldpc_tpu.decoder.sum_product import BPConfig
+from qec_ldpc_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
+
+_EXACT = jax.lax.Precision.HIGHEST  # permutation matmuls must not round
+
+
+def _roll_operands(graph: CirculantGraph) -> tuple[np.ndarray, np.ndarray]:
+    """Global (L*B, P, P) permutation stacks, block order (l, b) so a G-way
+    split of axis 0 hands each device exactly its columns' blocks.
+
+    to_var[i, q, r] = 1 iff r = (q - C) % P   (check -> var order)
+    to_chk[i, r, q] = 1 iff q = (r + C) % P   (var -> check order)
+    """
+    B, L, Pc = graph.B, graph.L, graph.P
+    to_var = np.zeros((L * B, Pc, Pc), dtype=np.float32)
+    to_chk = np.zeros((L * B, Pc, Pc), dtype=np.float32)
+    q = np.arange(Pc)
+    for l in range(L):
+        for b in range(B):
+            c = int(graph.table[b, l])
+            i = l * B + b
+            to_var[i, q, (q - c) % Pc] = 1.0
+            to_chk[i, q, (q + c) % Pc] = 1.0
+    return to_var, to_chk
+
+
+def _batched_roll(mats: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply per-block permutations: (NB, P, P) x (NB, P, bt) -> (NB, P, bt)."""
+    return jax.lax.dot_general(
+        mats, x, (((2,), (1,)), ((0,), (0,))), precision=_EXACT)
+
+
+def _other_device_product(local: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Product of every *other* graph-shard's per-check partials.
+
+    local: (B, P*bt).  all_gather -> (G, B, P*bt); multiply all shards except
+    our own (masked to ones).  O(G) fused multiplies, one collective.
+    """
+    gathered = jax.lax.all_gather(local, axis)          # (G, B, P*bt)
+    g = gathered.shape[0]
+    me = jax.lax.axis_index(axis)
+    out = jnp.ones_like(local)
+    for i in range(g):
+        term = jnp.where(me == i, jnp.ones_like(local), gathered[i])
+        out = out * term
+    return out
+
+
+def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
+                prior: jnp.ndarray, to_var: jnp.ndarray, to_chk: jnp.ndarray,
+                cfg: BPConfig):
+    """Per-device BP over the local Lc block-columns; runs inside shard_map.
+
+    syndrome: (B*P, bt) full check rows (replicated over graph axis).
+    to_var/to_chk: (Lc*B, P, P) this device's permutation stacks.
+    Returns (v_local (Lc*B*P, bt) check-indexed, iters).
+    """
+    B, Pc = graph.B, graph.P
+    bt = syndrome.shape[-1]
+    NB = Lc * B
+    sgn_half = (0.5 - syndrome.astype(jnp.float32)).reshape(B, Pc * bt)
+    prior = jnp.asarray(prior, dtype=jnp.float32)
+    v0 = jnp.broadcast_to(prior, (NB * Pc, bt)).astype(jnp.float32) \
+        + 0.0 * syndrome[:1].astype(jnp.float32)
+    # the loop body mixes in graph-varying roll operands; mark the initial
+    # carry graph-varying so shard_map's collective-type check accepts it
+    v0 = jax.lax.pcast(v0, (GRAPH_AXIS,), to="varying")
+    done0 = jnp.any(syndrome < 0, axis=0)
+
+    def cn(v):
+        # local partial + leave-one-out over this device's Lc columns
+        t = (1.0 - 2.0 * v).reshape(Lc, B, Pc * bt)
+        ones = jnp.ones_like(t[0])
+        pre = [ones] * Lc
+        for i in range(1, Lc):
+            pre[i] = pre[i - 1] * t[i - 1]
+        suf = [ones] * Lc
+        for i in range(Lc - 2, -1, -1):
+            suf[i] = suf[i + 1] * t[i + 1]
+        local_full = pre[-1] * t[-1]                     # (B, P*bt)
+        other = _other_device_product(local_full, GRAPH_AXIS)
+        loo = jnp.stack([pre[i] * suf[i] for i in range(Lc)])  # (Lc, B, P*bt)
+        e = 0.5 - sgn_half[None] * (other[None] * loo)
+        return e.reshape(NB * Pc, bt)
+
+    def vn(e, last):
+        ev = _batched_roll(to_var, e.reshape(NB, Pc, bt))     # var order
+        ev = ev.reshape(Lc, B, Pc * bt)
+        terms_p = [ev[:, i] for i in range(B)]
+        terms_m = [1.0 - ev[:, i] for i in range(B)]
+        ones = jnp.ones_like(terms_p[0])
+        pre_p, pre_m = [ones] * B, [ones] * B
+        for i in range(1, B):
+            pre_p[i] = pre_p[i - 1] * terms_p[i - 1]
+            pre_m[i] = pre_m[i - 1] * terms_m[i - 1]
+        suf_p, suf_m = [ones] * B, [ones] * B
+        for i in range(B - 2, -1, -1):
+            suf_p[i] = suf_p[i + 1] * terms_p[i + 1]
+            suf_m[i] = suf_m[i + 1] * terms_m[i + 1]
+        full_p = pre_p[-1] * terms_p[-1]
+        full_m = pre_m[-1] * terms_m[-1]
+        outs = []
+        for i in range(B):
+            prod_p = jnp.where(last, full_p, pre_p[i] * suf_p[i])
+            prod_m = jnp.where(last, full_m, pre_m[i] * suf_m[i])
+            num = prior * prod_p
+            den = (1.0 - prior) * prod_m + num
+            outs.append(num / den)
+        vv = jnp.stack(outs, axis=1).reshape(NB, Pc, bt)      # (lc, b) order
+        return _batched_roll(to_chk, vv).reshape(NB * Pc, bt)
+
+    def not_conv(v):
+        inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
+        local = jnp.any(inside, axis=0)                       # (bt,)
+        return jax.lax.pmax(local.astype(jnp.int32), GRAPH_AXIS) > 0
+
+    def cond(state):
+        n, _, done = state
+        return (n < cfg.max_iters) & ~jnp.all(done)
+
+    def body(state):
+        n, v, done = state
+        e = cn(v)
+        v_new = vn(e, last=(n == cfg.max_iters - 1))
+        v_new = jnp.where(done[None, :], v, v_new)
+        check_now = (n % cfg.check_every) == 0
+        conv = check_now & ~not_conv(v_new)
+        return n + 1, v_new, done | conv
+
+    n_final, v_final, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), v0, done0))
+    return v_final, n_final
+
+
+def _decode_one_graph_sharded(graph, Lc, syndrome, prior, to_var, to_chk, cfg):
+    """Local decisions + flags for one graph.  Returns
+    (decisions (Lc*P, bt) var-order, conv_fail (bt,), syn_fail (bt,), iters)."""
+    B, Pc = graph.B, graph.P
+    bt = syndrome.shape[-1]
+    NB = Lc * B
+    v, iters = _sharded_bp(graph, Lc, syndrome, prior, to_var, to_chk, cfg)
+    # hard decision per local var: any incident message >= 0.5
+    vv = _batched_roll(to_var, v.reshape(NB, Pc, bt)).reshape(Lc, B, Pc, bt)
+    decisions = jnp.any(vv >= cfg.hard_threshold, axis=1)     # (Lc, P, bt) bool
+    # convergence-fail: some local message in band on ANY shard
+    inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
+    conv_fail = jax.lax.pmax(
+        jnp.any(inside, axis=0).astype(jnp.int32), GRAPH_AXIS) > 0
+    # re-encode: partial syndrome from local cols, psum mod 2 over shards
+    d_f = decisions.astype(jnp.float32).reshape(Lc, 1, Pc, bt)
+    d_rep = jnp.broadcast_to(d_f, (Lc, B, Pc, bt)).reshape(NB, Pc, bt)
+    contrib = _batched_roll(to_chk, d_rep).reshape(Lc, B, Pc * bt)
+    partial = jnp.sum(contrib, axis=0)                        # (B, P*bt)
+    total = jax.lax.psum(partial, GRAPH_AXIS)
+    s_hat = jnp.mod(total.astype(jnp.int32), 2).reshape(B * Pc, bt)
+    syn_fail = jnp.any(s_hat != syndrome, axis=0)
+    return decisions.reshape(Lc * Pc, bt).astype(jnp.int8), conv_fail, syn_fail, iters
+
+
+def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
+    """Build a jitted decode over a (data, graph) mesh.
+
+    Returns ``decode(syndrome_x (J*P, batch), syndrome_z (K*P, batch),
+    error_probability) -> (decisions_x (n, batch), decisions_z, error_code
+    (batch,), iters (2,))`` with batch sharded over ``data``, the Tanner
+    graphs of both PCMs sharded block-column-wise over ``graph``, and outputs
+    fully gathered.  Requires G | L.
+    """
+    G = mesh.shape[GRAPH_AXIS]
+    L = graphs.x.L
+    if L % G != 0:
+        raise ValueError(f"graph axis size {G} must divide L={L}")
+    Lc = L // G
+    xv, xc = _roll_operands(graphs.x)
+    zv, zc = _roll_operands(graphs.z)
+    if cfg.algorithm != "sum-product":
+        raise NotImplementedError(
+            "graph-sharded decode currently implements sum-product only")
+
+    def shard_fn(sx, sz, p, xv, xc, zv, zc):
+        prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)
+        dx, cfx, sfx, itx = _decode_one_graph_sharded(
+            graphs.x, Lc, sx, prior, xv, xc, cfg)
+        dz, cfz, sfz, itz = _decode_one_graph_sharded(
+            graphs.z, Lc, sz, prior, zv, zc, cfg)
+        code = (
+            sfx.astype(jnp.int32) * SYNDROME_FAIL_X
+            + sfz.astype(jnp.int32) * SYNDROME_FAIL_Z
+            + cfx.astype(jnp.int32) * CONVERGENCE_FAIL_X
+            + cfz.astype(jnp.int32) * CONVERGENCE_FAIL_Z
+        )
+        # (1, 2): leading axis concatenates per-data-shard iteration counts
+        # (each data shard early-exits independently; graph shards are in
+        # lockstep, so the value is graph-replicated)
+        iters = jnp.stack([itx, itz])[None]
+        return dx, dz, code, iters
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(
+            P(None, DATA_AXIS),           # syndrome_x: checks replicated
+            P(None, DATA_AXIS),           # syndrome_z
+            P(),                          # error probability
+            P(GRAPH_AXIS, None, None),    # per-device roll stacks
+            P(GRAPH_AXIS, None, None),
+            P(GRAPH_AXIS, None, None),
+            P(GRAPH_AXIS, None, None),
+        ),
+        out_specs=(
+            P(GRAPH_AXIS, DATA_AXIS),     # decisions_x: vars split over graph
+            P(GRAPH_AXIS, DATA_AXIS),
+            P(DATA_AXIS),                 # error code per sample
+            P(DATA_AXIS, None),           # iters per data shard
+        ),
+    )
+    jitted = jax.jit(mapped)
+    xv_j, xc_j, zv_j, zc_j = map(jnp.asarray, (xv, xc, zv, zc))
+
+    def decode(syndrome_x, syndrome_z, error_probability):
+        return jitted(syndrome_x, syndrome_z,
+                      jnp.float32(error_probability), xv_j, xc_j, zv_j, zc_j)
+
+    return decode
