@@ -80,8 +80,15 @@ def expand_circulant(table: np.ndarray, P: int) -> np.ndarray:
 def gf2_rref(m: np.ndarray) -> tuple[np.ndarray, list[int]]:
     """Reduced row-echelon form over GF(2).  Returns (rref_rows, pivot_cols).
 
-    Only the nonzero rows are returned (shape rank x n).
+    Only the nonzero rows are returned (shape rank x n).  Dispatches to the
+    bit-packed native kernel (qec_ldpc_tpu/native, ~64x) when available; the
+    NumPy path below is the behavioral reference.
     """
+    from qec_ldpc_tpu import native
+
+    res = native.gf2_rref(m)
+    if res is not None:
+        return res
     m = (np.asarray(m, dtype=np.uint8) % 2).copy()
     rows, cols = m.shape
     pivots: list[int] = []

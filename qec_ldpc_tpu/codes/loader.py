@@ -14,31 +14,43 @@ hot path is identical for file-loaded and constructed codes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode, exponents_from_pcm
 
 
-def _parse_int_line(line: str) -> np.ndarray:
-    try:
-        from qec_ldpc_tpu.native import parse_ints  # C++ fast path
+def _parse_all_ints(path: str) -> np.ndarray:
+    """All whitespace-separated integers in the file, flat.  The native C++
+    byte scanner handles the ~1.8M-field code610.txt in milliseconds; the
+    fallback is a plain split."""
+    from qec_ldpc_tpu import native
 
-        return parse_ints(line)
-    except Exception:
-        return np.fromstring(line, dtype=np.int64, sep=" ") if hasattr(np, "fromstring") else np.array(line.split(), dtype=np.int64)
+    size = max(64, os.path.getsize(path))  # ints are >= 2 bytes each incl. sep
+    vals = native.parse_int_file(path, size)
+    if vals is not None:
+        return vals
+    with open(path) as f:
+        return np.array(f.read().split(), dtype=np.int64)
 
 
 def load_code_file(path: str) -> QuantumLDPCCode:
-    with open(path) as f:
-        text = f.read()
-    lines = [ln for ln in text.splitlines() if ln.strip()]
-    if len(lines) < 4:
-        raise ValueError(f"code file {path!r} must have 4 non-empty lines, got {len(lines)}")
-    J, K, L, P, sigma, tau = (int(x) for x in lines[0].split()[:6])
+    vals = _parse_all_ints(path)
+    if vals.size < 6:
+        raise ValueError(f"code file {path!r}: expected header J K L P sigma tau")
+    J, K, L, P, sigma, tau = (int(x) for x in vals[:6])
     n = L * P
-    pcm_x = _parse_int_line(lines[1]).astype(np.int8).reshape(J * P, n)
-    pcm_z = _parse_int_line(lines[2]).astype(np.int8).reshape(K * P, n)
-    imp = _parse_int_line(lines[3]).astype(np.uint8).reshape(2 * n, 2 * n)
+    need = 6 + (J + K) * P * n + 4 * n * n
+    if vals.size < need:
+        raise ValueError(
+            f"code file {path!r}: expected {need} fields, got {vals.size}")
+    off = 6
+    pcm_x = vals[off:off + J * P * n].astype(np.int8).reshape(J * P, n)
+    off += J * P * n
+    pcm_z = vals[off:off + K * P * n].astype(np.int8).reshape(K * P, n)
+    off += K * P * n
+    imp = vals[off:off + 4 * n * n].astype(np.uint8).reshape(2 * n, 2 * n)
     hc = exponents_from_pcm(pcm_x, J, L, P)
     hd = exponents_from_pcm(pcm_z, K, L, P)
     return QuantumLDPCCode(

@@ -1,3 +1,4 @@
+from qec_ldpc_tpu.harness import debug
 from qec_ldpc_tpu.harness.config import (
     RunConfig,
     format_result_filename,
@@ -7,6 +8,7 @@ from qec_ldpc_tpu.harness.journal import Journal
 from qec_ldpc_tpu.harness.stats import CodeStatistics, parse_reference_text
 
 __all__ = [
+    "debug",
     "RunConfig",
     "load_init_file",
     "format_result_filename",

@@ -25,6 +25,7 @@ import jax
 
 from qec_ldpc_tpu.codes import construct_code, load_code_file
 from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+from qec_ldpc_tpu.harness import debug
 from qec_ldpc_tpu.harness.config import RunConfig, format_result_filename, load_init_file
 from qec_ldpc_tpu.harness.journal import Journal
 from qec_ldpc_tpu.harness.stats import CodeStatistics
@@ -55,45 +56,48 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
               f"({devices[0].platform}); seed={seed}")
 
     journal = Journal(os.path.join(cfg.results_dir, "journal.jsonl"))
-    run_id = f"{code}|COUNT={cfg.count}|MAX={cfg.max_iterations}|p={cfg.error_probability:g}|seed={seed}"
 
     all_stats: list[CodeStatistics] = []
-    for w in range(cfg.weight_start, cfg.weight_end + 1):
-        fname = format_result_filename(str(code), w, cfg.max_iterations,
-                                       cfg.error_probability)
-        out_path = os.path.join(cfg.results_dir, fname)
-        _log(log, out_path)
+    with debug.trace(cfg.profile_dir or None):
+        for i, (w, p) in enumerate(cfg.sweep_points()):
+            run_id = (f"{code}|COUNT={cfg.count}|MAX={cfg.max_iterations}"
+                      f"|p={p:g}|seed={seed}")
+            fname = format_result_filename(str(code), w, cfg.max_iterations, p)
+            out_path = os.path.join(cfg.results_dir, fname)
+            _log(log, out_path)
 
-        start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
-        if start_chunk:
-            _log(log, f"  resuming W={w} at chunk {start_chunk}")
+            start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
+            if start_chunk:
+                _log(log, f"  resuming W={w} p={p:g} at chunk {start_chunk}")
 
-        def on_chunk(c, num_chunks, counters, iters, _w=w):
-            journal.append({
-                "run_id": run_id, "weight": _w, "chunk": c,
-                "counters": [int(x) for x in counters], "iters": iters,
-            })
+            def on_chunk(c, num_chunks, counters, iters, _w=w, _rid=run_id):
+                journal.append({
+                    "run_id": _rid, "weight": _w, "chunk": c,
+                    "counters": [int(x) for x in counters], "iters": iters,
+                })
 
-        t0 = time.perf_counter()
-        counters, bp_iters = run_monte_carlo(
-            graphs, w, cfg.count, cfg.error_probability, bp_cfg, seed + w,
-            batch_size=cfg.batch_size, mesh=mesh, error_model=cfg.error_model,
-            progress=on_chunk, start_chunk=start_chunk,
-            init_counters=init_counters,
-        )
-        duration_us = int((time.perf_counter() - t0) * 1e6)
+            t0 = time.perf_counter()
+            counters, bp_iters = run_monte_carlo(
+                graphs, w, cfg.count, p, bp_cfg, seed + i,
+                batch_size=cfg.batch_size, mesh=mesh,
+                error_model=cfg.error_model,
+                progress=on_chunk, start_chunk=start_chunk,
+                init_counters=init_counters,
+            )
+            duration_us = int((time.perf_counter() - t0) * 1e6)
 
-        stats = CodeStatistics.from_counters(
-            code, seed + w, w, counters, duration_us,
-            total_bp_iterations=bp_iters + init_iters,
-            num_devices=len(devices))
-        all_stats.append(stats)
-        # append-mode per-weight results file (main.cu:100)
-        with open(out_path, "a") as f:
-            f.write(stats.to_reference_text() + "\n\n")
-        _log(log, f"  W={w}: {stats.num_errors_tested} samples, "
-                  f"corrected={stats.corrected}, logical={stats.logical_errors}, "
-                  f"{stats.samples_per_second:,.0f} samples/s")
+            stats = CodeStatistics.from_counters(
+                code, seed + i, w, counters, duration_us,
+                total_bp_iterations=bp_iters + init_iters,
+                num_devices=len(devices))
+            all_stats.append(stats)
+            # append-mode per-weight results file (main.cu:100)
+            with open(out_path, "a") as f:
+                f.write(stats.to_reference_text() + "\n\n")
+            _log(log, f"  W={w} p={p:g}: {stats.num_errors_tested} samples, "
+                      f"corrected={stats.corrected}, "
+                      f"logical={stats.logical_errors}, "
+                      f"{stats.samples_per_second:,.0f} samples/s")
 
     _log(log, "Run complete.")
     log.close()

@@ -30,6 +30,20 @@ class RunConfig:
     algorithm: str = "sum-product"   # or "min-sum"
     error_model: str = "weight"      # or "depolarizing"
     use_mesh: bool = True            # shard over all local devices
+    #: comma-separated physical error rates: sweep p (logical-error-rate
+    #: curve, BASELINE config 4) instead of the reference's weight sweep
+    p_values: str = ""
+    #: write a jax.profiler trace (TensorBoard/Perfetto) under this directory
+    profile_dir: str = ""
+
+    def sweep_points(self) -> list[tuple[int, float]]:
+        """The (weight, p) grid this run covers: the reference's w..W sweep at
+        fixed p, or a p sweep at fixed weight when ``p_values`` is set."""
+        if self.p_values:
+            ps = [float(x) for x in self.p_values.replace(",", " ").split()]
+            return [(self.weight_start, p) for p in ps]
+        return [(w, self.error_probability)
+                for w in range(self.weight_start, self.weight_end + 1)]
 
     def bp_config(self) -> BPConfig:
         return BPConfig(max_iters=self.max_iterations, algorithm=self.algorithm)

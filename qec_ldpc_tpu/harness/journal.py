@@ -5,8 +5,8 @@ The reference's only resume story is append-mode result files per weight
 completed chunk appends one JSON line {run_id, weight, chunk, counters}; on
 restart the journal replays finished chunks so a killed sweep resumes at the
 next chunk with identical statistics (chunk keys are derived from (seed,
-chunk index), so replay is exact).  Uses the native C++ writer when built
-(fsync'd appends), pure Python otherwise.
+chunk index), so replay is exact).  Appends are fsync'd whole lines, so a
+crash can at worst leave one torn trailing line, which replay skips.
 """
 
 from __future__ import annotations

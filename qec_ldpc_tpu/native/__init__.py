@@ -1,0 +1,146 @@
+"""ctypes bindings for the native GF(2) kernel library (gf2.cpp).
+
+Builds ``_gf2.so`` with g++ on first use (cached beside the source); every
+entry point has a NumPy fallback so the framework works without a compiler.
+``HAVE_NATIVE`` reports which path is active.
+
+Bit packing convention: row-major, little-endian bit order within 64-bit
+words (numpy ``packbits(bitorder="little")`` viewed as uint64).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "gf2.cpp")
+_SO = os.path.join(_DIR, "_gf2.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+HAVE_NATIVE = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def _load():
+    global _lib, HAVE_NATIVE, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        ):
+            if not _build():
+                HAVE_NATIVE = False
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            HAVE_NATIVE = False
+            return None
+        lib.qec_gf2_rref.restype = ctypes.c_int
+        lib.qec_gf2_rref.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.qec_gf2_matvec.restype = None
+        lib.qec_gf2_matvec.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8)]
+        lib.qec_parse_ints.restype = ctypes.c_long
+        lib.qec_parse_ints.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long]
+        _lib = lib
+        HAVE_NATIVE = True
+        return _lib
+
+
+def pack_rows(m: np.ndarray) -> tuple[np.ndarray, int]:
+    """(rows, cols) 0/1 matrix -> (rows, words) uint64 packed, plus words."""
+    m = np.ascontiguousarray(np.asarray(m, dtype=np.uint8) % 2)
+    rows, cols = m.shape
+    words = max(1, -(-cols // 64))
+    packed_bytes = np.packbits(m, axis=1, bitorder="little")
+    pad = words * 8 - packed_bytes.shape[1]
+    if pad:
+        packed_bytes = np.pad(packed_bytes, ((0, 0), (0, pad)))
+    return np.ascontiguousarray(packed_bytes).view(np.uint64).reshape(rows, words), words
+
+
+def unpack_rows(packed: np.ndarray, cols: int) -> np.ndarray:
+    """(rows, words) uint64 -> (rows, cols) uint8 0/1 matrix."""
+    rows = packed.shape[0]
+    as_bytes = np.ascontiguousarray(packed).view(np.uint8).reshape(rows, -1)
+    bits = np.unpackbits(as_bytes, axis=1, bitorder="little")
+    return bits[:, :cols]
+
+
+def gf2_rref(m: np.ndarray) -> tuple[np.ndarray, list[int]] | None:
+    """Native RREF over GF(2): returns (rref nonzero rows, pivot cols), or
+    None when the native library is unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.asarray(m, dtype=np.uint8)
+    rows, cols = m.shape
+    if rows == 0 or cols == 0:
+        return m.copy(), []
+    packed, words = pack_rows(m)
+    pivots = np.zeros(min(rows, cols), dtype=np.int32)
+    rank = lib.qec_gf2_rref(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        rows, words, cols,
+        pivots.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return unpack_rows(packed[:rank], cols), [int(p) for p in pivots[:rank]]
+
+
+def gf2_matvec(m: np.ndarray, vecs: np.ndarray) -> np.ndarray | None:
+    """Batched mod-2 matvec: (rows, cols) x (batch, cols) -> (rows, batch)
+    uint8, or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    pm, words = pack_rows(m)
+    pv, words_v = pack_rows(vecs)
+    assert words == words_v, (m.shape, vecs.shape)
+    rows, batch = pm.shape[0], pv.shape[0]
+    out = np.zeros((rows, batch), dtype=np.uint8)
+    lib.qec_gf2_matvec(
+        pm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), rows, words,
+        pv.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), batch,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def parse_int_file(path: str, max_count: int) -> np.ndarray | None:
+    """Parse whitespace-separated integers; None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros(max_count, dtype=np.int64)
+    got = lib.qec_parse_ints(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        max_count)
+    if got < 0:
+        raise FileNotFoundError(path)
+    return out[:got]
+
+
+def native_available() -> bool:
+    return _load() is not None

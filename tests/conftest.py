@@ -53,5 +53,10 @@ def small_graphs(small_code):
 
 
 @pytest.fixture(scope="session")
+def small_code_file():
+    return str(SMALL_CODE_FILE)
+
+
+@pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)

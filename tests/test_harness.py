@@ -89,3 +89,45 @@ def test_journal_tolerates_torn_line(tmp_path):
     j2 = Journal(str(path))
     next_chunk, counters, iters = j2.resume_state("r", 1)
     assert next_chunk == 1
+
+
+def test_sweep_points_weight_and_p_modes():
+    cfg = RunConfig("c.txt", 2, 4, 100, 50, 0.01)
+    assert cfg.sweep_points() == [(2, 0.01), (3, 0.01), (4, 0.01)]
+    cfg.p_values = "0.001, 0.01 0.02"
+    assert cfg.sweep_points() == [(2, 0.001), (2, 0.01), (2, 0.02)]
+
+
+def test_debug_write_array_reference_format(tmp_path):
+    from qec_ldpc_tpu.harness import debug
+
+    p = str(tmp_path / "dump.txt")
+    debug.write_array(p, np.array([[1, 0], [0, 1]]))
+    debug.write_array(p, np.array([0.5, 0.25]))  # appends (ArrayOutput.h:9)
+    assert open(p).read() == "1 0\n0 1\n\n0.5 0.25\n\n"
+
+
+def test_run_sweep_end_to_end(tmp_path, small_code_file):
+    """Full CLI path on the CPU mesh: init file -> sweep -> results files with
+    reference-format records -> journal resume is a no-op re-run."""
+    from qec_ldpc_tpu.harness.cli import run_sweep
+
+    init = tmp_path / "init.txt"
+    init.write_text(
+        f"{small_code_file} 1 2 64 20 0.02 seed=5 batch_size=32 "
+        f"results_dir={tmp_path}/results log_file={tmp_path}/log.txt\n")
+    cfg = load_init_file(str(init))
+    stats = run_sweep(cfg)
+    assert len(stats) == 2
+    assert stats[0].num_errors_tested == 64
+    assert stats[0].error_weight == 1
+    out = os.listdir(f"{tmp_path}/results")
+    assert any("_W_1_MAX_20_p_0.02.txt" in f for f in out)
+    rec = parse_reference_text(
+        open(os.path.join(f"{tmp_path}/results",
+                          [f for f in out if "_W_1_" in f][0])).read())[0]
+    assert rec["Errors Tested"] == "64"
+    # resume: all chunks journaled -> instant, identical counters
+    stats2 = run_sweep(cfg)
+    assert stats2[0].corrected == stats[0].corrected
+    assert stats2[1].corrected == stats[1].corrected
