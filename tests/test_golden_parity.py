@@ -1,0 +1,53 @@
+"""Statistical parity vs the reference's golden Monte-Carlo corpus.
+
+The reference ships ~280 result files (QEC_LDPC/results/**) that are its
+de-facto regression suite (SURVEY §4).  RNG streams don't transfer from the
+C++ locked mt19937 (SURVEY §7 hard parts), so parity is statistical: outcome
+fractions must agree within Monte-Carlo tolerance.  Golden numbers below are
+from results/[2,3,6,7,2,3]/ at 100k samples, MAX=100, p=0.02; the three
+shipped repeat runs at W=3 vary by ±0.35% absolute, and our 10k-sample runs
+have binomial sigma <= 0.5%, so a ±2% absolute gate is ~4 combined sigma —
+tight enough to catch any semantic drift in decode/classification, loose
+enough to never flake.
+"""
+
+import numpy as np
+import pytest
+
+from qec_ldpc_tpu.decoder import BPConfig
+from qec_ldpc_tpu.parallel import make_mesh, run_monte_carlo
+from qec_ldpc_tpu.sampling import (
+    C_CORRECTED, C_LOGICAL, C_SYN_X, C_SYN_Z, C_TESTED,
+)
+
+# golden fractions: weight -> (corrected, logical, syndrome_x, syndrome_z)
+# from results/[2,3,6,7,2,3]/..._W_{w}_MAX_100_p_0.02.txt (100k samples each)
+GOLDEN = {
+    1: (1.00000, 0.00000, 0.00000, 0.00000),
+    2: (0.75887, 0.00000, 0.12957, 0.12760),
+    3: (0.50962, 0.14348, 0.19367, 0.18974),
+    4: (0.27761, 0.29310, 0.24690, 0.24065),
+}
+
+COUNT = 10_000
+TOL = 0.02
+
+
+@pytest.mark.parametrize("weight", sorted(GOLDEN))
+def test_outcome_fractions_match_golden_corpus(small_graphs, weight):
+    mesh = make_mesh()  # 8 virtual CPU devices, data-parallel
+    counters, _ = run_monte_carlo(
+        small_graphs, weight, COUNT, 0.02, BPConfig(max_iters=100),
+        seed=1000 + weight, batch_size=1024, mesh=mesh)
+    tested = counters[C_TESTED]
+    assert tested >= COUNT
+    got = (
+        counters[C_CORRECTED] / tested,
+        counters[C_LOGICAL] / tested,
+        counters[C_SYN_X] / tested,
+        counters[C_SYN_Z] / tested,
+    )
+    want = GOLDEN[weight]
+    for name, g, w in zip(("corrected", "logical", "syn_x", "syn_z"), got, want):
+        assert abs(g - w) <= TOL, (
+            f"W={weight} {name}: got {g:.4f}, golden {w:.4f} (tol {TOL})")
