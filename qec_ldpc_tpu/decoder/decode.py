@@ -83,11 +83,23 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig):
         decisions = jnp.any(vv <= 0.0, axis=0).astype(jnp.int8)
         conv_fail = _not_converged_mask_llr(v, np_log_band(cfg.conv_low))
     else:
-        v, iters = bp_run(
-            graph, syndrome, prior,
-            max_iters=cfg.max_iters, check_every=cfg.check_every,
-            conv_low=cfg.conv_low, conv_high=cfg.conv_high,
-        )
+        if cfg.kernel == "pallas":
+            from qec_ldpc_tpu.kernels.bp_pallas import bp_run_pallas
+
+            v, per_col_iters = bp_run_pallas(
+                graph, syndrome, prior,
+                max_iters=cfg.max_iters, check_every=cfg.check_every,
+                conv_low=cfg.conv_low, conv_high=cfg.conv_high,
+                tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
+                interpret=(jax.default_backend() == "cpu"),
+            )
+            iters = jnp.max(per_col_iters)
+        else:
+            v, iters = bp_run(
+                graph, syndrome, prior,
+                max_iters=cfg.max_iters, check_every=cfg.check_every,
+                conv_low=cfg.conv_low, conv_high=cfg.conv_high,
+            )
         # hard decision: any incident message >= 0.5 (DecoderCPU.h:354-373)
         vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
         decisions = jnp.any(vv >= cfg.hard_threshold, axis=0).astype(jnp.int8)

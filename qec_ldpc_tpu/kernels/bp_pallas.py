@@ -15,20 +15,28 @@ check- and variable-ordering with the MXU.
 Performance design (hard-won on v5e):
   * Blocks are stored padded to a 64-row stride and ALL elementwise ops run
     on full 64-row tiles — 61-row partial-tile slices force masked
-    read-modify-write sequences that cost ~30x the arithmetic.
+    read-modify-write sequences.
   * The mod-P cyclic rolls (the message routing) are implemented as matmuls
-    with per-block 64x64 permutation matrices on the MXU.  For 0/1 matrices
-    an f32 MXU matmul is EXACT (each output is a single product by 1.0; the
-    bf16x3 decomposition of f32 reproduces it bit-for-bit), so routing does
-    not perturb numerics.  Pad rows have all-zero matrix columns, so junk
-    never propagates.
+    with per-block 64x64 permutation matrices on the MXU, at
+    ``Precision.HIGHEST``: the default single-pass bf16 matmul would round
+    every routed message to 8 mantissa bits per iteration (verified to change
+    decisions on ~40% of batch lanes on the [[610,61]] code), while HIGHEST
+    is exact for 0/1 matrices.  Pad rows have all-zero matrix columns, so
+    junk never propagates.
   * The done-mask lives in VMEM scratch as f32 — carrying a bool vector in
     the `lax.while_loop` carry fails Mosaic legalization (scf.yield with
     vector<8x128xi1>), so the loop carry is scalars only.
 
 Numerics match decoder/sum_product.py bit-for-bit on every iteration except
 that XLA may reassociate the final posterior-forming iteration's products by
-1 ulp (observed <= 6e-11); tests pin this tolerance.
+1 ulp (observed <= 6e-11); tests pin this tolerance.  Decisions and error
+codes are verified identical to the XLA path on real TPU ([[610,61]],
+batch 2048).
+
+Measured on v5e (batch 2048, 100 fixed iterations, X graph of [[610,61]],
+device time isolated from the remote-dispatch tax by scanning chained calls
+on device): 9.4 ms vs the XLA path's 34.1 ms — 3.6x.  With default-precision
+rolls it is 4.4 ms (7.8x) but not bit-exact.
 """
 
 from __future__ import annotations
@@ -116,8 +124,12 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                 evs = []
                 for b in range(B):
                     i = b * L + l
-                    # ev[q] = E[(q - C) % P]; pad rows -> 0
+                    # ev[q] = E[(q - C) % P]; pad rows -> 0.  HIGHEST precision
+                    # (f32 via multi-pass bf16) is EXACT for 0/1 permutation
+                    # matrices; the default single bf16 pass would round every
+                    # message to 8 mantissa bits per iteration.
                     evs.append(jnp.dot(mat(i), e_ref[i * blk:(i + 1) * blk, :],
+                                       precision=jax.lax.Precision.HIGHEST,
                                        preferred_element_type=jnp.float32))
                 ems = [1.0 - ev for ev in evs]
                 ones = jnp.ones_like(evs[0])
@@ -142,6 +154,7 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                     i = b * L + l
                     # back to check order: out[r] = vv[(r + C) % P]; pads -> 0
                     rolled = jnp.dot(mat(NB + i), vv,
+                                     precision=jax.lax.Precision.HIGHEST,
                                      preferred_element_type=jnp.float32)
                     old = v_ref[i * blk:(i + 1) * blk, :]
                     v_ref[i * blk:(i + 1) * blk, :] = jnp.where(done, old, rolled)

@@ -1,0 +1,86 @@
+"""Fused Pallas BP kernel vs the XLA reference path (interpret mode on CPU).
+
+On real TPU the kernel is bit-identical to decoder/sum_product.py except for
+a <=1-ulp reassociation on the posterior-forming final iteration (see
+kernels/bp_pallas.py docstring); interpret mode executes the same program
+with XLA ops, so the tolerance here is the same.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from qec_ldpc_tpu.decoder import BPConfig, bp_run, decode_batch
+from qec_ldpc_tpu.kernels.bp_pallas import bp_run_pallas
+from qec_ldpc_tpu.sampling import sample_weight_w_errors
+
+PRIOR = jnp.float32(2.0 / 3.0 * 0.02)
+
+
+def _syndromes(code, graphs, weight, batch, seed=0):
+    xe, _ = sample_weight_w_errors(jax.random.PRNGKey(seed), code.n, weight, batch)
+    return graphs.x.syndrome(xe.astype(jnp.int32))
+
+
+@pytest.mark.parametrize("iters", [1, 7, 20])
+def test_matches_xla_path_fixed_iters(small_code, small_graphs, iters):
+    """No early exit: message tensors agree to 1 ulp after every iteration
+    count (including the posterior-forming last iteration)."""
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 2, 8)
+    v_ref, it_ref = bp_run(graphs.x, syn, PRIOR, max_iters=iters,
+                           check_every=iters + 2)
+    v_ker, it_ker = bp_run_pallas(graphs.x, syn, PRIOR, max_iters=iters,
+                                  check_every=iters + 2, tile_batch=8,
+                                  interpret=True)
+    assert int(it_ref) == iters
+    assert np.asarray(it_ker).max() == iters
+    np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_ref),
+                               rtol=0, atol=6e-8)
+
+
+def test_early_exit_matches_xla(small_code, small_graphs):
+    """Default every-10 convergence: executed iteration counts and final
+    messages agree with the XLA loop."""
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 1, 8, seed=3)
+    v_ref, it_ref = bp_run(graphs.x, syn, PRIOR, max_iters=50, check_every=10)
+    v_ker, it_ker = bp_run_pallas(graphs.x, syn, PRIOR, max_iters=50,
+                                  check_every=10, tile_batch=8, interpret=True)
+    assert np.asarray(it_ker).max() == int(it_ref)
+    np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_ref),
+                               rtol=0, atol=6e-8)
+
+
+def test_zero_syndrome_tile_isolation(small_code, small_graphs):
+    """Tiles early-exit independently: an all-zero-syndrome tile must report
+    fewer executed iterations than a busy tile."""
+    code, graphs = small_code, small_graphs
+    busy = _syndromes(code, graphs, 4, 8, seed=5)
+    quiet = jnp.zeros_like(busy)
+    syn = jnp.concatenate([quiet, busy], axis=1)  # tiles of 8
+    _, iters = bp_run_pallas(graphs.x, syn, PRIOR, max_iters=50,
+                             check_every=10, tile_batch=8, interpret=True)
+    it = np.asarray(iters)
+    assert it[0] <= it[8]
+
+
+def test_decode_batch_kernel_option(small_code, small_graphs):
+    """cfg.kernel='pallas' routes decode_batch through the fused kernel and
+    produces the same decisions/flags as the XLA path."""
+    code, graphs = small_code, small_graphs
+    n, batch = code.n, 16
+    xe, ze = sample_weight_w_errors(jax.random.PRNGKey(9), n, 2, batch)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    res_x = decode_batch(graphs, sx, sz, 0.02, BPConfig(max_iters=30))
+    res_p = decode_batch(graphs, sx, sz, 0.02,
+                         BPConfig(max_iters=30, kernel="pallas",
+                                  kernel_tile_batch=8))
+    assert np.array_equal(np.asarray(res_x.decisions_x),
+                          np.asarray(res_p.decisions_x))
+    assert np.array_equal(np.asarray(res_x.decisions_z),
+                          np.asarray(res_p.decisions_z))
+    assert np.array_equal(np.asarray(res_x.error_code),
+                          np.asarray(res_p.error_code))
