@@ -42,7 +42,7 @@ def main() -> int:
 
     from qec_ldpc_tpu.codes import construct_code
     from qec_ldpc_tpu.decoder import BPConfig
-    from qec_ldpc_tpu.decoder.decode import CodeGraphs
+    from qec_ldpc_tpu.decoder.decode import CodeGraphs, kernel_consts
     from qec_ldpc_tpu.parallel.montecarlo import _chunk_body
 
     code = construct_code(4, 5, 10, 61, 9, 49)
@@ -56,14 +56,18 @@ def main() -> int:
     cfg = BPConfig(max_iters=max_iters, check_every=max_iters + 1,
                    kernel="pallas")
     i_minus_p = jnp.asarray(code.i_minus_p)
+    # kernel roll operands as runtime args, NOT trace-time constants: keeps
+    # the HLO module small so remote compiles are fast and cacheable
+    consts = kernel_consts(graphs, cfg)
 
     @jax.jit
-    def run(key):
+    def run(key, consts, i_minus_p):
         def body(carry, c):
             counters, min_it = carry
             ck = jax.random.fold_in(key, c)
             cnt, iters = _chunk_body(graphs, i_minus_p, ck, weight,
-                                     jnp.float32(0.01), cfg, batch, "weight")
+                                     jnp.float32(0.01), cfg, batch, "weight",
+                                     consts)
             return (counters + cnt, jnp.minimum(min_it, jnp.min(iters))), None
         init = (jnp.zeros(9, jnp.int32), jnp.int32(2**31 - 1))
         (counters, min_it), _ = jax.lax.scan(
@@ -71,7 +75,7 @@ def main() -> int:
         return counters, min_it
 
     key = jax.random.PRNGKey(0)
-    counters, min_it = run(key)  # compile + warm up
+    counters, min_it = run(key, consts, i_minus_p)  # compile + warm up
     counters = np.asarray(counters)
     assert int(min_it) == max_iters, f"early exit leaked: {int(min_it)}"
     assert counters[0] == chunks * batch, counters
@@ -79,7 +83,7 @@ def main() -> int:
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        counters, min_it = run(key)
+        counters, min_it = run(key, consts, i_minus_p)
         counters = np.asarray(counters)  # materialize: full host sync
         best = min(best, time.perf_counter() - t0)
     assert int(min_it) == max_iters

@@ -70,7 +70,26 @@ class DecodeResult:
     iters_z: jnp.ndarray
 
 
-def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig):
+def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
+    """Runtime operand pytree for the fused-kernel decode path.
+
+    The Pallas kernel routes messages with per-block permutation-matrix
+    stacks (~MBs for large codes).  When ``decode_batch`` is called inside an
+    outer jit (Monte-Carlo scans, benchmarks), fetch this OUTSIDE the jit and
+    pass it through as a traced argument — otherwise the stacks are baked
+    into the HLO as multi-megabyte constants, making remote compilation slow
+    and uncacheable (see kernels.bp_pallas.roll_operand).  Returns None when
+    the config doesn't use the kernel.
+    """
+    if cfg.algorithm != "min-sum" and cfg.kernel == "pallas":
+        from qec_ldpc_tpu.kernels.bp_pallas import roll_operand
+
+        return {"x": jnp.asarray(roll_operand(graphs.x)),
+                "z": jnp.asarray(roll_operand(graphs.z))}
+    return None
+
+
+def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
     if cfg.algorithm == "min-sum":
         v, iters = min_sum_run(
             graph, syndrome, prior,
@@ -92,6 +111,7 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig):
                 conv_low=cfg.conv_low, conv_high=cfg.conv_high,
                 tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
                 interpret=(jax.default_backend() == "cpu"),
+                rolls=rolls,
             )
             iters = jnp.max(per_col_iters)
         else:
@@ -117,10 +137,17 @@ def decode_batch(
     syndrome_z: jnp.ndarray,  # (K*P, batch)
     error_probability: jnp.ndarray | float,
     cfg: BPConfig = BPConfig(),
+    consts=None,              # kernel_consts(graphs, cfg); see its docstring
 ) -> DecodeResult:
+    if consts is None:
+        consts = kernel_consts(graphs, cfg)
     prior = jnp.float32(cfg.prior_factor) * jnp.asarray(error_probability, jnp.float32)
-    dx, cfx, sfx, itx = _decode_one_graph(graphs.x, syndrome_x, prior, cfg)
-    dz, cfz, sfz, itz = _decode_one_graph(graphs.z, syndrome_z, prior, cfg)
+    dx, cfx, sfx, itx = _decode_one_graph(
+        graphs.x, syndrome_x, prior, cfg,
+        rolls=None if consts is None else consts["x"])
+    dz, cfz, sfz, itz = _decode_one_graph(
+        graphs.z, syndrome_z, prior, cfg,
+        rolls=None if consts is None else consts["z"])
     code = (
         sfx.astype(jnp.int32) * SYNDROME_FAIL_X
         + sfz.astype(jnp.int32) * SYNDROME_FAIL_Z

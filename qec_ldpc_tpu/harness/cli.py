@@ -39,7 +39,16 @@ def _log(fh, msg: str) -> None:
     fh.flush()
 
 
+def enable_persistent_compile_cache(path: str = "/tmp/jax_cache") -> None:
+    """Persistent XLA compile cache: remote/tunneled TPU compiles cost tens of
+    seconds to minutes and have high variance; caching makes reruns instant."""
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
+    enable_persistent_compile_cache()
     maybe_init_distributed()
     os.makedirs(cfg.results_dir, exist_ok=True)
     log = open(cfg.log_file, "a")  # append-mode run log (main.cu:45-52)
@@ -83,6 +92,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 error_model=cfg.error_model,
                 progress=on_chunk, start_chunk=start_chunk,
                 init_counters=init_counters,
+                steps_per_call=cfg.steps_per_call,
             )
             duration_us = int((time.perf_counter() - t0) * 1e6)
 

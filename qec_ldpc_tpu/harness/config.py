@@ -35,6 +35,12 @@ class RunConfig:
     p_values: str = ""
     #: write a jax.profiler trace (TensorBoard/Perfetto) under this directory
     profile_dir: str = ""
+    #: BP engine: "auto" (fused Pallas kernel on TPU, XLA loop elsewhere),
+    #: "pallas", or "xla"
+    kernel: str = "auto"
+    #: Monte-Carlo chunks scanned on device per dispatch (amortizes runtime
+    #: dispatch overhead; journal/resume granularity is one dispatch group)
+    steps_per_call: int = 8
 
     def sweep_points(self) -> list[tuple[int, float]]:
         """The (weight, p) grid this run covers: the reference's w..W sweep at
@@ -46,7 +52,13 @@ class RunConfig:
                 for w in range(self.weight_start, self.weight_end + 1)]
 
     def bp_config(self) -> BPConfig:
-        return BPConfig(max_iters=self.max_iterations, algorithm=self.algorithm)
+        kernel = self.kernel
+        if kernel == "auto":
+            import jax
+
+            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+        return BPConfig(max_iters=self.max_iterations,
+                        algorithm=self.algorithm, kernel=kernel)
 
 
 def load_init_file(path: str) -> RunConfig:

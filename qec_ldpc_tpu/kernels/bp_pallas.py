@@ -193,6 +193,25 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
     return kernel
 
 
+@functools.lru_cache(maxsize=None)
+def _roll_matrices_cached(graph: CirculantGraph) -> np.ndarray:
+    blk = -(-graph.P // 8) * 8
+    return _roll_matrices(graph, blk)
+
+
+def roll_operand(graph: CirculantGraph) -> np.ndarray:
+    """The kernel's permutation-matrix stack for ``graph``.
+
+    Pass this as the ``rolls`` argument of :func:`bp_run_pallas` whenever the
+    call sits inside an outer ``jit`` (e.g. a Monte-Carlo scan): if the kernel
+    fabricates it at trace time it becomes a multi-megabyte HLO *constant*
+    (measured: 9 MB of module text for the [[610,61]] X+Z pipeline), which
+    made remote compiles take minutes and defeated cross-process compilation
+    caching.  As a runtime parameter the module stays small.
+    """
+    return _roll_matrices_cached(graph)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("graph", "max_iters", "check_every", "conv_low",
@@ -207,12 +226,17 @@ def bp_run_pallas(
     conv_high: float = 0.99,
     tile_batch: int = 512,
     interpret: bool = False,
+    rolls: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused-kernel equivalent of sum_product.bp_run.
 
     Returns (v_final (num_edges, batch), iters (batch,)): iters is the
     per-tile executed iteration count (each batch tile early-exits
     independently when all its lanes converge).
+
+    ``rolls``: the :func:`roll_operand` stack.  Optional at top level;
+    REQUIRED (as a traced argument) when calling from inside another jit —
+    see :func:`roll_operand`.
     """
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:
@@ -224,7 +248,8 @@ def bp_run_pallas(
 
     kernel = _build_kernel(graph, max_iters, check_every, conv_low, conv_high, blk)
     prior_arr = jnp.reshape(jnp.asarray(prior, jnp.float32), (1,))
-    rolls = jnp.asarray(_roll_matrices(graph, blk))
+    if rolls is None:
+        rolls = jnp.asarray(_roll_matrices_cached(graph))
 
     scratch_bytes = (2 * B * L * blk + B * blk + 8) * tile_batch * 4
     # io blocks are double-buffered across grid steps; leave generous margin

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from qec_ldpc_tpu.decoder.decode import CodeGraphs, decode_batch
+from qec_ldpc_tpu.decoder.decode import CodeGraphs, decode_batch, kernel_consts
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
 from qec_ldpc_tpu.parallel.mesh import DATA_AXIS
 from qec_ldpc_tpu.sampling.classify import NUM_COUNTERS, classify_batch
@@ -35,7 +35,7 @@ from qec_ldpc_tpu.sampling.errors import (
 
 def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
                 weight: int, error_probability, cfg: BPConfig, batch: int,
-                error_model: str):
+                error_model: str, consts=None):
     """Sample + decode + classify one batch; returns (counters[9], iters[2])."""
     n = graphs.code.n
     if error_model == "weight":
@@ -48,7 +48,7 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
     ze_i = ze.astype(jnp.int32)
     sx = graphs.x.syndrome(xe_i)
     sz = graphs.z.syndrome(ze_i)
-    res = decode_batch(graphs, sx, sz, error_probability, cfg)
+    res = decode_batch(graphs, sx, sz, error_probability, cfg, consts=consts)
     counters = classify_batch(i_minus_p, xe_i, ze_i,
                               res.decisions_x.astype(jnp.int32),
                               res.decisions_z.astype(jnp.int32),
@@ -60,34 +60,74 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
 @partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch", "error_model"))
 def mc_chunk(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
              weight: int, error_probability, cfg: BPConfig, batch: int,
-             error_model: str = "weight"):
-    """Single-device Monte-Carlo chunk."""
+             error_model: str = "weight", consts=None):
+    """Single-device Monte-Carlo chunk.  ``consts``: kernel_consts(graphs,
+    cfg) — pass explicitly so kernel operands stay runtime parameters."""
     return _chunk_body(graphs, i_minus_p, key, weight, error_probability, cfg,
-                       batch, error_model)
+                       batch, error_model, consts)
+
+
+def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
+                 cfg, batch, error_model, consts=None):
+    """Scan several chunks on device in one dispatch.  Each chunk derives its
+    key as fold_in(key, chunk_id) — identical statistics to dispatching the
+    chunks one by one, but the per-dispatch runtime overhead (tens of ms on
+    tunneled/remote runtimes) is paid once per scan instead of per chunk."""
+
+    def body(carry, c):
+        counters, iters = carry
+        ck = jax.random.fold_in(key, c)
+        cnt, its = _chunk_body(graphs, i_minus_p, ck, weight,
+                               error_probability, cfg, batch, error_model,
+                               consts)
+        return (counters + cnt, iters + its), None
+
+    init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.zeros(2, jnp.int32))
+    (counters, iters), _ = jax.lax.scan(body, init, chunk_ids)
+    return counters, iters
+
+
+_scan_chunks_jit = jax.jit(
+    _scan_chunks,
+    static_argnames=("graphs", "weight", "cfg", "batch", "error_model"))
 
 
 def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
                        cfg: BPConfig, batch_per_device: int,
                        error_model: str = "weight"):
-    """Build a jitted shard_map chunk: each data-axis device decodes its own
-    sub-batch with its own fold_in key and early-exit loop; counters are
+    """Build a jitted shard_map chunk group: each data-axis device decodes its
+    own sub-batch with its own fold_in key and early-exit loop; counters are
     psum-reduced to a replicated [NUM_COUNTERS] vector (the TPU analog of the
-    reference's ``#pragma omp atomic`` counters)."""
+    reference's ``#pragma omp atomic`` counters).
 
-    num_data = mesh.shape[DATA_AXIS]
+    The returned function takes ``(i_minus_p, key, error_probability,
+    chunk_ids)`` and scans the given chunk ids on device in one dispatch
+    (per-chunk key = fold_in(fold_in(key, chunk_id), device_index), identical
+    to dispatching them singly)."""
 
-    def shard_fn(i_minus_p, key, error_probability):
+    def shard_fn(i_minus_p, key, error_probability, chunk_ids, consts):
         idx = jax.lax.axis_index(DATA_AXIS)
-        dev_key = jax.random.fold_in(key, idx)
-        counters, iters = _chunk_body(
-            graphs, i_minus_p, dev_key, weight, error_probability, cfg,
-            batch_per_device, error_model)
+
+        def body(carry, c):
+            counters, iters = carry
+            ck = jax.random.fold_in(jax.random.fold_in(key, c), idx)
+            cnt, its = _chunk_body(
+                graphs, i_minus_p, ck, weight, error_probability, cfg,
+                batch_per_device, error_model, consts)
+            return (counters + cnt, iters + its), None
+
+        # per-device accumulators are data-varying (keys fold in the device
+        # index); mark the initial carry accordingly for shard_map's checker
+        init = jax.lax.pcast(
+            (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.zeros(2, jnp.int32)),
+            (DATA_AXIS,), to="varying")
+        (counters, iters), _ = jax.lax.scan(body, init, chunk_ids)
         return (jax.lax.psum(counters, DATA_AXIS),
                 jax.lax.psum(iters, DATA_AXIS))
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P()),
         out_specs=(P(), P()),
     )
     return jax.jit(mapped)
@@ -106,6 +146,7 @@ def run_monte_carlo(
     progress: "callable | None" = None,
     start_chunk: int = 0,
     init_counters: np.ndarray | None = None,
+    steps_per_call: int = 1,
 ):
     """Accumulate statistics counters over ``count`` samples.
 
@@ -113,8 +154,15 @@ def run_monte_carlo(
     (count is rounded up to a whole number of chunks, mirroring the
     reference's COUNT/nThreads rounding, DecoderCPU.h:427,438,527).
 
+    ``steps_per_call`` chunks are scanned on device per dispatch — identical
+    statistics (per-chunk keys derive from the global chunk index), but the
+    per-dispatch runtime overhead is amortized; progress/journal granularity
+    becomes one record per dispatch group, so resume requires the same
+    (batch_size, steps_per_call).
+
     ``start_chunk``/``init_counters`` support journal-based resume
-    (harness/journal.py).  Returns (counters[NUM_COUNTERS], total_bp_iters).
+    (harness/journal.py); ``start_chunk`` counts dispatch groups.
+    Returns (counters[NUM_COUNTERS], total_bp_iters).
     """
     i_minus_p = jnp.asarray(graphs.code.i_minus_p)
     key = jax.random.PRNGKey(seed)
@@ -123,26 +171,32 @@ def run_monte_carlo(
         per_dev = max(1, batch_size // num_data)
         chunk_fn = make_sharded_chunk(mesh, graphs, weight, cfg, per_dev, error_model)
         chunk_samples = per_dev * num_data
-        def run_chunk(k, p):
-            return chunk_fn(i_minus_p, k, jnp.float32(p))
+        consts = kernel_consts(graphs, cfg)
+        def run_group(ids, p):
+            return chunk_fn(i_minus_p, key, jnp.float32(p), ids, consts)
     else:
         chunk_samples = batch_size
-        def run_chunk(k, p):
-            return mc_chunk(graphs, i_minus_p, k, weight, jnp.float32(p), cfg,
-                            batch_size, error_model)
+        consts = kernel_consts(graphs, cfg)
+        def run_group(ids, p):
+            return _scan_chunks_jit(graphs, i_minus_p, key, ids, weight,
+                                    jnp.float32(p), cfg, batch_size,
+                                    error_model, consts)
 
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     if init_counters is not None:
         totals += np.asarray(init_counters, dtype=np.int64)
     total_iters = 0
     num_chunks = -(-count // chunk_samples)
-    for c in range(start_chunk, num_chunks):
-        ck = jax.random.fold_in(key, c)
-        counters, iters = run_chunk(ck, error_probability)
+    group_ids = [np.arange(g, min(g + steps_per_call, num_chunks),
+                           dtype=np.uint32)
+                 for g in range(0, num_chunks, steps_per_call)]
+    for gi in range(start_chunk, len(group_ids)):
+        ids = jnp.asarray(group_ids[gi])
+        counters, iters = run_group(ids, error_probability)
         counters = np.asarray(counters, dtype=np.int64)
         chunk_iters = int(np.asarray(iters).sum())
         total_iters += chunk_iters
         totals += counters
         if progress is not None:
-            progress(c, num_chunks, counters, chunk_iters)
+            progress(gi, len(group_ids), counters, chunk_iters)
     return totals, total_iters

@@ -80,3 +80,18 @@ def test_resume_produces_identical_counters(small_graphs):
         cfg=cfg, seed=11, batch_size=128, mesh=None,
         start_chunk=2, init_counters=part1)
     np.testing.assert_array_equal(full, resumed)
+
+
+def test_steps_per_call_identical_statistics(small_graphs):
+    """Scanning chunks on device (steps_per_call > 1) must produce exactly
+    the counters of single-chunk dispatches, single-device and sharded."""
+    cfg = BPConfig(max_iters=20)
+    for mesh in (None, make_mesh()):
+        one, it_one = run_monte_carlo(
+            small_graphs, weight=2, count=512, error_probability=0.03,
+            cfg=cfg, seed=21, batch_size=128, mesh=mesh, steps_per_call=1)
+        scanned, it_scan = run_monte_carlo(
+            small_graphs, weight=2, count=512, error_probability=0.03,
+            cfg=cfg, seed=21, batch_size=128, mesh=mesh, steps_per_call=3)
+        np.testing.assert_array_equal(one, scanned)
+        assert it_one == it_scan
