@@ -81,11 +81,13 @@ def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
     and uncacheable (see kernels.bp_pallas.roll_operand).  Returns None when
     the config doesn't use the kernel.
     """
-    if cfg.algorithm != "min-sum" and cfg.kernel == "pallas":
+    if (cfg.algorithm != "min-sum" and cfg.kernel == "pallas"
+            and cfg.kernel_roll_impl == "mxu"):
         from qec_ldpc_tpu.kernels.bp_pallas import roll_operand
 
         return {"x": jnp.asarray(roll_operand(graphs.x)),
                 "z": jnp.asarray(roll_operand(graphs.z))}
+    # the default "shift" routing needs no runtime operands
     return None
 
 
@@ -112,6 +114,7 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
                 tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
                 interpret=(jax.default_backend() == "cpu"),
                 rolls=rolls,
+                roll_impl=cfg.kernel_roll_impl,
             )
             iters = jnp.max(per_col_iters)
         else:

@@ -55,6 +55,10 @@ class BPConfig:
     kernel: str = "xla"
     #: batch tile per kernel instance (must divide batch; bounded by VMEM)
     kernel_tile_batch: int = 512
+    #: kernel message routing: "shift" (static VPU tile rolls — exact in f32,
+    #: MXU-free, fastest) or "mxu" (HIGHEST-precision permutation matmuls,
+    #: kept for cross-checking; needs the roll_operand runtime arg)
+    kernel_roll_impl: str = "shift"
 
 
 def _loo_products(terms: list[jnp.ndarray]) -> list[jnp.ndarray]:

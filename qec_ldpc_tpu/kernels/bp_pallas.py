@@ -16,27 +16,30 @@ Performance design (hard-won on v5e):
   * Blocks are stored padded to a 64-row stride and ALL elementwise ops run
     on full 64-row tiles — 61-row partial-tile slices force masked
     read-modify-write sequences.
-  * The mod-P cyclic rolls (the message routing) are implemented as matmuls
-    with per-block 64x64 permutation matrices on the MXU, at
-    ``Precision.HIGHEST``: the default single-pass bf16 matmul would round
-    every routed message to 8 mantissa bits per iteration (verified to change
-    decisions on ~40% of batch lanes on the [[610,61]] code), while HIGHEST
-    is exact for 0/1 matrices.  Pad rows have all-zero matrix columns, so
-    junk never propagates.
+  * The mod-P cyclic rolls (the message routing) are pure VPU data movement
+    (``roll_impl="shift"``, the default): a mod-P roll inside a 64-padded
+    tile is a select between two static full-tile ``pltpu.roll``s plus a pad
+    mask — exact in f32, no MXU involvement.  The original design
+    (``roll_impl="mxu"``, kept selectable for cross-checking) used per-block
+    64x64 permutation-matrix matmuls at ``Precision.HIGHEST``: exact for 0/1
+    matrices (a default single-pass bf16 matmul would round every routed
+    message to 8 mantissa bits per iteration, verified to change decisions
+    on ~40% of batch lanes), but the multi-pass f32 emulation makes it ~1.6x
+    slower than the shift routing and needs a multi-MB matrix operand.
   * The done-mask lives in VMEM scratch as f32 — carrying a bool vector in
     the `lax.while_loop` carry fails Mosaic legalization (scf.yield with
     vector<8x128xi1>), so the loop carry is scalars only.
 
-Numerics match decoder/sum_product.py bit-for-bit on every iteration except
-that XLA may reassociate the final posterior-forming iteration's products by
-1 ulp (observed <= 6e-11); tests pin this tolerance.  Decisions and error
-codes are verified identical to the XLA path on real TPU ([[610,61]],
-batch 2048).
+Numerics: verified on real TPU ([[610,61]], batch 2048, 20 and 100 fixed
+iterations) that shift routing, mxu routing, and the XLA path produce
+bit-identical message tensors on every finite entry, identical NaN masks on
+saturated lanes (0/0 posterior, matching what the reference C++ float math
+produces), and identical decisions and error codes.
 
 Measured on v5e (batch 2048, 100 fixed iterations, X graph of [[610,61]],
 device time isolated from the remote-dispatch tax by scanning chained calls
-on device): 9.4 ms vs the XLA path's 34.1 ms — 3.6x.  With default-precision
-rolls it is 4.4 ms (7.8x) but not bit-exact.
+on device): shift 6.8 ms, mxu 10.9 ms, XLA path 35.6 ms — the production
+shift routing is 5.3x the XLA loop.
 """
 
 from __future__ import annotations
@@ -72,17 +75,39 @@ def _roll_matrices(graph: CirculantGraph, blk: int) -> np.ndarray:
 
 
 def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
-                  conv_low: float, conv_high: float, blk: int):
+                  conv_low: float, conv_high: float, blk: int, roll_impl: str):
     B, L, P = graph.B, graph.L, graph.P
     NB = B * L
 
-    def kernel(prior_ref, rolls_ref, syn_ref, v_out_ref, iters_ref,
-               v_ref, e_ref, sgn_ref, done_ref):
+    def kernel(*refs):
+        if roll_impl == "mxu":
+            (prior_ref, rolls_ref, syn_ref, v_out_ref, iters_ref,
+             v_ref, e_ref, sgn_ref, done_ref) = refs
+        else:
+            (prior_ref, syn_ref, v_out_ref, iters_ref,
+             v_ref, e_ref, sgn_ref, done_ref) = refs
         prior = prior_ref[0]
         bt = syn_ref.shape[-1]
+        rows_blk = jax.lax.broadcasted_iota(jnp.int32, (blk, bt), 0)
 
         def mat(i):
             return rolls_ref[i * blk:(i + 1) * blk, :]
+
+        def route(x, c):
+            """y[q] = x[(q - c) % P] on rows < P, 0 on pad rows; static c.
+
+            A mod-P cyclic roll inside a blk-padded tile = select between two
+            full-tile rolls (never touches pad rows of x for q < P), then
+            mask pads.  Pure VPU data movement — exact in f32, no MXU.
+            """
+            c = int(c) % P
+            if c == 0:
+                y = x
+            else:
+                r1 = pltpu.roll(x, c, 0)            # x[(q - c) % blk]
+                r2 = pltpu.roll(x, (c - P) % blk, 0)  # x[(q - c + P) % blk]
+                y = jnp.where(rows_blk < c, r2, r1)
+            return jnp.where(rows_blk < P, y, 0.0)
 
         def vblock(b, l):
             base = (b * L + l) * blk
@@ -124,13 +149,19 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                 evs = []
                 for b in range(B):
                     i = b * L + l
-                    # ev[q] = E[(q - C) % P]; pad rows -> 0.  HIGHEST precision
-                    # (f32 via multi-pass bf16) is EXACT for 0/1 permutation
-                    # matrices; the default single bf16 pass would round every
-                    # message to 8 mantissa bits per iteration.
-                    evs.append(jnp.dot(mat(i), e_ref[i * blk:(i + 1) * blk, :],
-                                       precision=jax.lax.Precision.HIGHEST,
-                                       preferred_element_type=jnp.float32))
+                    # ev[q] = E[(q - C) % P]; pad rows -> 0
+                    if roll_impl == "mxu":
+                        # HIGHEST precision (f32 via multi-pass bf16) is EXACT
+                        # for 0/1 permutation matrices; the default single
+                        # bf16 pass would round every message to 8 mantissa
+                        # bits per iteration.
+                        evs.append(jnp.dot(
+                            mat(i), e_ref[i * blk:(i + 1) * blk, :],
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32))
+                    else:
+                        evs.append(route(e_ref[i * blk:(i + 1) * blk, :],
+                                         graph.table[b, l]))
                 ems = [1.0 - ev for ev in evs]
                 ones = jnp.ones_like(evs[0])
                 pre_p = [ones] * B
@@ -153,9 +184,12 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                     vv = num / den
                     i = b * L + l
                     # back to check order: out[r] = vv[(r + C) % P]; pads -> 0
-                    rolled = jnp.dot(mat(NB + i), vv,
-                                     precision=jax.lax.Precision.HIGHEST,
-                                     preferred_element_type=jnp.float32)
+                    if roll_impl == "mxu":
+                        rolled = jnp.dot(mat(NB + i), vv,
+                                         precision=jax.lax.Precision.HIGHEST,
+                                         preferred_element_type=jnp.float32)
+                    else:
+                        rolled = route(vv, P - int(graph.table[b, l]))
                     old = v_ref[i * blk:(i + 1) * blk, :]
                     v_ref[i * blk:(i + 1) * blk, :] = jnp.where(done, old, rolled)
 
@@ -215,7 +249,7 @@ def roll_operand(graph: CirculantGraph) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("graph", "max_iters", "check_every", "conv_low",
-                     "conv_high", "tile_batch", "interpret"))
+                     "conv_high", "tile_batch", "interpret", "roll_impl"))
 def bp_run_pallas(
     graph: CirculantGraph,
     syndrome: jnp.ndarray,   # (num_checks, batch) in {0,1}
@@ -227,6 +261,7 @@ def bp_run_pallas(
     tile_batch: int = 512,
     interpret: bool = False,
     rolls: jnp.ndarray | None = None,
+    roll_impl: str = "shift",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused-kernel equivalent of sum_product.bp_run.
 
@@ -234,10 +269,16 @@ def bp_run_pallas(
     per-tile executed iteration count (each batch tile early-exits
     independently when all its lanes converge).
 
-    ``rolls``: the :func:`roll_operand` stack.  Optional at top level;
-    REQUIRED (as a traced argument) when calling from inside another jit —
-    see :func:`roll_operand`.
+    ``roll_impl``: "shift" (default) routes messages with static VPU tile
+    rolls — exact in f32 and MXU-free; "mxu" routes with HIGHEST-precision
+    permutation matmuls (the original design, kept for cross-checking).
+
+    ``rolls``: the :func:`roll_operand` stack, used only by ``roll_impl=
+    "mxu"``.  Optional at top level; REQUIRED (as a traced argument) when
+    calling from inside another jit — see :func:`roll_operand`.
     """
+    if roll_impl not in ("shift", "mxu"):
+        raise ValueError(f"unknown roll_impl {roll_impl!r}")
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:
         raise ValueError(f"batch {batch} not divisible by tile_batch {tile_batch}")
@@ -246,27 +287,33 @@ def bp_run_pallas(
     E_rows = graph.num_edges
     blk = -(-P // 8) * 8  # block stride aligned to the f32 sublane tile
 
-    kernel = _build_kernel(graph, max_iters, check_every, conv_low, conv_high, blk)
+    kernel = _build_kernel(graph, max_iters, check_every, conv_low, conv_high,
+                           blk, roll_impl)
     prior_arr = jnp.reshape(jnp.asarray(prior, jnp.float32), (1,))
-    if rolls is None:
-        rolls = jnp.asarray(_roll_matrices_cached(graph))
+    operands = [prior_arr]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    rolls_bytes = 0
+    if roll_impl == "mxu":
+        if rolls is None:
+            rolls = jnp.asarray(_roll_matrices_cached(graph))
+        operands.append(rolls)
+        in_specs.append(pl.BlockSpec((2 * B * L * blk, blk), lambda t: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        rolls_bytes = rolls.size * 4
+    operands.append(syndrome.astype(jnp.int32))
+    in_specs.append(pl.BlockSpec((num_checks, tile_batch), lambda t: (0, t),
+                                 memory_space=pltpu.VMEM))
 
     scratch_bytes = (2 * B * L * blk + B * blk + 8) * tile_batch * 4
     # io blocks are double-buffered across grid steps; leave generous margin
     io_bytes = 2 * (E_rows + num_checks + 64) * tile_batch * 4
     vmem_limit = min(110 * 1024 * 1024,
-                     scratch_bytes + io_bytes + rolls.size * 4 + (8 << 20))
+                     scratch_bytes + io_bytes + rolls_bytes + (8 << 20))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((2 * B * L * blk, blk), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_checks, tile_batch), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((E_rows, tile_batch), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
@@ -289,5 +336,5 @@ def bp_run_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(prior_arr, rolls, syndrome.astype(jnp.int32))
+    )(*operands)
     return v_final, iters[0]

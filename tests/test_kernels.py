@@ -23,17 +23,19 @@ def _syndromes(code, graphs, weight, batch, seed=0):
     return graphs.x.syndrome(xe.astype(jnp.int32))
 
 
+@pytest.mark.parametrize("roll_impl", ["shift", "mxu"])
 @pytest.mark.parametrize("iters", [1, 7, 20])
-def test_matches_xla_path_fixed_iters(small_code, small_graphs, iters):
+def test_matches_xla_path_fixed_iters(small_code, small_graphs, iters, roll_impl):
     """No early exit: message tensors agree to 1 ulp after every iteration
-    count (including the posterior-forming last iteration)."""
+    count (including the posterior-forming last iteration), for both message-
+    routing implementations."""
     code, graphs = small_code, small_graphs
     syn = _syndromes(code, graphs, 2, 8)
     v_ref, it_ref = bp_run(graphs.x, syn, PRIOR, max_iters=iters,
                            check_every=iters + 2)
     v_ker, it_ker = bp_run_pallas(graphs.x, syn, PRIOR, max_iters=iters,
                                   check_every=iters + 2, tile_batch=8,
-                                  interpret=True)
+                                  interpret=True, roll_impl=roll_impl)
     assert int(it_ref) == iters
     assert np.asarray(it_ker).max() == iters
     np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_ref),
@@ -46,11 +48,13 @@ def test_early_exit_matches_xla(small_code, small_graphs):
     code, graphs = small_code, small_graphs
     syn = _syndromes(code, graphs, 1, 8, seed=3)
     v_ref, it_ref = bp_run(graphs.x, syn, PRIOR, max_iters=50, check_every=10)
-    v_ker, it_ker = bp_run_pallas(graphs.x, syn, PRIOR, max_iters=50,
-                                  check_every=10, tile_batch=8, interpret=True)
-    assert np.asarray(it_ker).max() == int(it_ref)
-    np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_ref),
-                               rtol=0, atol=6e-8)
+    for roll_impl in ("shift", "mxu"):
+        v_ker, it_ker = bp_run_pallas(graphs.x, syn, PRIOR, max_iters=50,
+                                      check_every=10, tile_batch=8,
+                                      interpret=True, roll_impl=roll_impl)
+        assert np.asarray(it_ker).max() == int(it_ref)
+        np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_ref),
+                                   rtol=0, atol=6e-8)
 
 
 def test_zero_syndrome_tile_isolation(small_code, small_graphs):
