@@ -93,11 +93,23 @@ def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
 
 def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
     if cfg.algorithm == "min-sum":
-        v, iters = min_sum_run(
-            graph, syndrome, prior,
-            max_iters=cfg.max_iters, check_every=cfg.check_every,
-            conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
-        )
+        if cfg.kernel == "pallas":
+            from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas
+
+            v, per_col_iters = min_sum_run_pallas(
+                graph, syndrome, prior,
+                max_iters=cfg.max_iters, check_every=cfg.check_every,
+                conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+                tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
+                interpret=(jax.default_backend() == "cpu"),
+            )
+            iters = jnp.max(per_col_iters)
+        else:
+            v, iters = min_sum_run(
+                graph, syndrome, prior,
+                max_iters=cfg.max_iters, check_every=cfg.check_every,
+                conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+            )
         # LLR images of the reference's probability-domain semantics:
         # "any incident message >= 0.5" <=> any incident llr <= 0
         vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)

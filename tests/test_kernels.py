@@ -88,3 +88,63 @@ def test_decode_batch_kernel_option(small_code, small_graphs):
                           np.asarray(res_p.decisions_z))
     assert np.array_equal(np.asarray(res_x.error_code),
                           np.asarray(res_p.error_code))
+
+
+# ---------------------------------------------------------------------------
+# Min-sum fused kernel (kernels/min_sum_pallas.py) vs decoder/min_sum.py
+# ---------------------------------------------------------------------------
+
+from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas
+
+MS_PRIOR = jnp.float32(2.0 / 3.0 * 0.02)
+
+
+@pytest.mark.parametrize("iters", [1, 7, 20])
+def test_min_sum_matches_xla_fixed_iters(small_code, small_graphs, iters):
+    """No early exit: LLR message tensors agree bit-for-bit after every
+    iteration count (min/sign arithmetic is exact; sums share the XLA
+    accumulation order)."""
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 2, 8)
+    v_ref, it_ref = min_sum_run(graphs.x, syn, MS_PRIOR, max_iters=iters,
+                                check_every=iters + 2)
+    v_ker, it_ker = min_sum_run_pallas(graphs.x, syn, MS_PRIOR, max_iters=iters,
+                                       check_every=iters + 2, tile_batch=8,
+                                       interpret=True)
+    assert int(it_ref) == iters
+    assert np.asarray(it_ker).max() == iters
+    np.testing.assert_array_equal(np.asarray(v_ker), np.asarray(v_ref))
+
+
+def test_min_sum_early_exit_matches_xla(small_code, small_graphs):
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 1, 8, seed=3)
+    v_ref, it_ref = min_sum_run(graphs.x, syn, MS_PRIOR, max_iters=50,
+                                check_every=10)
+    v_ker, it_ker = min_sum_run_pallas(graphs.x, syn, MS_PRIOR, max_iters=50,
+                                       check_every=10, tile_batch=8,
+                                       interpret=True)
+    assert np.asarray(it_ker).max() == int(it_ref)
+    np.testing.assert_array_equal(np.asarray(v_ker), np.asarray(v_ref))
+
+
+def test_decode_batch_min_sum_kernel_option(small_code, small_graphs):
+    """cfg.algorithm='min-sum' + kernel='pallas' produces the same decisions
+    and flags as the XLA min-sum path."""
+    code, graphs = small_code, small_graphs
+    n, batch = code.n, 16
+    xe, ze = sample_weight_w_errors(jax.random.PRNGKey(9), n, 2, batch)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    res_x = decode_batch(graphs, sx, sz, 0.02,
+                         BPConfig(max_iters=30, algorithm="min-sum"))
+    res_p = decode_batch(graphs, sx, sz, 0.02,
+                         BPConfig(max_iters=30, algorithm="min-sum",
+                                  kernel="pallas", kernel_tile_batch=8))
+    assert np.array_equal(np.asarray(res_x.decisions_x),
+                          np.asarray(res_p.decisions_x))
+    assert np.array_equal(np.asarray(res_x.decisions_z),
+                          np.asarray(res_p.decisions_z))
+    assert np.array_equal(np.asarray(res_x.error_code),
+                          np.asarray(res_p.error_code))
