@@ -10,7 +10,7 @@ Replaces the reference CUDA path (``kernels.cu:33-250``): where CUDA used one
 thread per Tanner edge and device-side child grids (dynamic parallelism), the
 TPU kernel vectorizes each P x batch circulant block on the VPU, walks the
 J x L (K x L) block grid in an unrolled schedule, and routes messages between
-check- and variable-ordering with the MXU.
+check- and variable-ordering with static VPU tile rolls (see route()).
 
 Performance design (hard-won on v5e):
   * Blocks are stored padded to a 64-row stride and ALL elementwise ops run
@@ -18,8 +18,8 @@ Performance design (hard-won on v5e):
     read-modify-write sequences.
   * The mod-P cyclic rolls (the message routing) are pure VPU data movement
     (``roll_impl="shift"``, the default): a mod-P roll inside a 64-padded
-    tile is a select between two static full-tile ``pltpu.roll``s plus a pad
-    mask — exact in f32, no MXU involvement.  The original design
+    tile is a select between two static full-tile ``pltpu.roll``s — exact
+    in f32, no MXU involvement.  The original design
     (``roll_impl="mxu"``, kept selectable for cross-checking) used per-block
     64x64 permutation-matrix matmuls at ``Precision.HIGHEST``: exact for 0/1
     matrices (a default single-pass bf16 matmul would round every routed
@@ -38,8 +38,12 @@ produces), and identical decisions and error codes.
 
 Measured on v5e (batch 2048, 100 fixed iterations, X graph of [[610,61]],
 device time isolated from the remote-dispatch tax by scanning chained calls
-on device): shift 6.8 ms, mxu 10.9 ms, XLA path 35.6 ms — the production
-shift routing is 5.3x the XLA loop.
+on device): shift 5.8 ms, mxu 11.1 ms, XLA path 35.6 ms — the production
+shift routing is 6.1x the XLA loop.  (Further wins over the first shift
+version: posterior formation hoisted out of the loop, done-masking skipped
+until the first convergence event, and pad rows left as garbage instead of
+masked — each consumer is row-elementwise, so garbage never reaches valid
+rows.)
 """
 
 from __future__ import annotations
@@ -94,20 +98,20 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
             return rolls_ref[i * blk:(i + 1) * blk, :]
 
         def route(x, c):
-            """y[q] = x[(q - c) % P] on rows < P, 0 on pad rows; static c.
+            """y[q] = x[(q - c) % P] on rows < P; GARBAGE on pad rows.
 
             A mod-P cyclic roll inside a blk-padded tile = select between two
-            full-tile rolls (never touches pad rows of x for q < P), then
-            mask pads.  Pure VPU data movement — exact in f32, no MXU.
+            full-tile rolls; valid rows q < P never read pad rows of x, so
+            garbage is confined to pad rows forever (every consumer is
+            row-elementwise and the convergence scan / output copy mask or
+            skip pads).  Pure VPU data movement — exact in f32, no MXU.
             """
             c = int(c) % P
             if c == 0:
-                y = x
-            else:
-                r1 = pltpu.roll(x, c, 0)            # x[(q - c) % blk]
-                r2 = pltpu.roll(x, (c - P) % blk, 0)  # x[(q - c + P) % blk]
-                y = jnp.where(rows_blk < c, r2, r1)
-            return jnp.where(rows_blk < P, y, 0.0)
+                return x
+            r1 = pltpu.roll(x, c, 0)            # x[(q - c) % blk]
+            r2 = pltpu.roll(x, (c - P) % blk, 0)  # x[(q - c + P) % blk]
+            return jnp.where(rows_blk < c, r2, r1)
 
         def vblock(b, l):
             base = (b * L + l) * blk
@@ -126,9 +130,22 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
         v_ref[:] = jnp.where(rows % blk < P, prior, 0.0)
         done_ref[:] = jnp.zeros((8, bt), jnp.float32)
 
-        def iteration(n):
-            last = n == max_iters - 1
-            done = done_ref[0:1, :] > 0.5
+        def iteration(last, masked):
+            """One BP iteration.  Both flags are STATIC (Python bools, the
+            variants are separate Mosaic branches):
+
+            ``masked``: honor the per-lane done-mask on V writes.  The
+            unmasked variant skips a full VMEM read pass over V and 40
+            selects per iteration; the loop dispatches on whether ANY lane
+            has converged yet, so the fast variant runs until the first
+            convergence event (always, when the convergence exit is disabled
+            for fixed-work benchmarks).
+
+            ``last``: form full posteriors instead of leave-one-out messages
+            (DecoderCPU.h:216 semantics).  Hoisted out of the while_loop as
+            one epilogue call, removing 2 selects per (b, l) block from every
+            loop iteration."""
+            done = done_ref[0:1, :] > 0.5 if masked else None
             # -- check-node update (DecoderCPU.h:150-186), full 64-row tiles --
             for b in range(B):
                 ts = [1.0 - 2.0 * vblock(b, l) for l in range(L)]
@@ -177,8 +194,8 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                 full_p = pre_p[-1] * evs[-1]
                 full_m = pre_m[-1] * ems[-1]
                 for b in range(B):
-                    prod_p = jnp.where(last, full_p, pre_p[b] * suf_p[b])
-                    prod_m = jnp.where(last, full_m, pre_m[b] * suf_m[b])
+                    prod_p = full_p if last else pre_p[b] * suf_p[b]
+                    prod_m = full_m if last else pre_m[b] * suf_m[b]
                     num = prior * prod_p
                     den = (1.0 - prior) * prod_m + num
                     vv = num / den
@@ -190,23 +207,40 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                                          preferred_element_type=jnp.float32)
                     else:
                         rolled = route(vv, P - int(graph.table[b, l]))
-                    old = v_ref[i * blk:(i + 1) * blk, :]
-                    v_ref[i * blk:(i + 1) * blk, :] = jnp.where(done, old, rolled)
+                    if masked:
+                        old = v_ref[i * blk:(i + 1) * blk, :]
+                        rolled = jnp.where(done, old, rolled)
+                    v_ref[i * blk:(i + 1) * blk, :] = rolled
 
         def not_converged():
-            # per-lane: some nonzero message strictly inside (low, high)
-            # (CheckConvergence, DecoderCPU.h:231-246); pad rows are 0
+            # per-lane: some nonzero VALID-row message strictly inside
+            # (low, high) (CheckConvergence, DecoderCPU.h:231-246); pad rows
+            # hold garbage under shift routing and must be excluded
             v = v_ref[:]
-            inside = (v != 0.0) & (v > conv_low) & (v < conv_high)
+            vrows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+            inside = ((v != 0.0) & (v > conv_low) & (v < conv_high)
+                      & (vrows % blk < P))
             return jnp.any(inside, axis=0, keepdims=True)  # (1, bt)
 
         def cond(state):
-            n, alldone = state
-            return (n < max_iters) & (alldone == 0)
+            n, alldone, _ = state
+            return (n < max_iters - 1) & (alldone == 0)
 
         def body(state):
-            n, _ = state
-            iteration(n)
+            n, _, anydone = state
+
+            if roll_impl == "mxu":
+                # duplicating the matmul-heavy body regresses this variant
+                # ~50% (measured); keep the single always-masked body
+                iteration(False, masked=True)
+            else:
+                @pl.when(anydone == 0)
+                def _():
+                    iteration(False, masked=False)
+
+                @pl.when(anydone != 0)
+                def _():
+                    iteration(False, masked=True)
 
             @pl.when((n % check_every) == 0)
             def _():
@@ -215,9 +249,19 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                 done_ref[0:1, :] = jnp.maximum(prev, conv)
 
             alldone = (jnp.min(done_ref[0:1, :]) > 0.5).astype(jnp.int32)
-            return n + 1, alldone
+            anydone = (jnp.max(done_ref[0:1, :]) > 0.5).astype(jnp.int32)
+            return n + 1, alldone, anydone
 
-        n_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        n_loop, alldone, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+        # posterior epilogue: the final iteration (reference n == N-1) runs
+        # only if some lane is still live; converged lanes stay frozen
+        @pl.when(alldone == 0)
+        def _():
+            iteration(True, masked=True)
+
+        n_final = jnp.where(alldone == 0, n_loop + 1, n_loop)
 
         # copy padded scratch back to the dense (B*L*P, bt) output layout
         for i in range(NB):
@@ -308,7 +352,7 @@ def bp_run_pallas(
     # io blocks are double-buffered across grid steps; leave generous margin
     io_bytes = 2 * (E_rows + num_checks + 64) * tile_batch * 4
     vmem_limit = min(110 * 1024 * 1024,
-                     scratch_bytes + io_bytes + rolls_bytes + (8 << 20))
+                     scratch_bytes + io_bytes + rolls_bytes + (16 << 20))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -40,15 +40,16 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
         rows_blk = jax.lax.broadcasted_iota(jnp.int32, (blk, bt), 0)
 
         def route(x, c):
-            """y[q] = x[(q - c) % P] on rows < P, 0 on pad rows; static c."""
+            """y[q] = x[(q - c) % P] on rows < P; GARBAGE on pad rows (valid
+            rows never read pads; every consumer is row-elementwise and the
+            convergence scan / output copy mask or skip pads — see
+            bp_pallas.route)."""
             c = int(c) % P
             if c == 0:
-                y = x
-            else:
-                r1 = pltpu.roll(x, c, 0)
-                r2 = pltpu.roll(x, (c - P) % blk, 0)
-                y = jnp.where(rows_blk < c, r2, r1)
-            return jnp.where(rows_blk < P, y, 0.0)
+                return x
+            r1 = pltpu.roll(x, c, 0)
+            r2 = pltpu.roll(x, (c - P) % blk, 0)
+            return jnp.where(rows_blk < c, r2, r1)
 
         def vblock(b, l):
             base = (b * L + l) * blk
@@ -65,9 +66,12 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
         v_ref[:] = jnp.where(rows % blk < P, prior_llr, 0.0)
         done_ref[:] = jnp.zeros((8, bt), jnp.float32)
 
-        def iteration(n):
-            last = n == max_iters - 1
-            done = done_ref[0:1, :] > 0.5
+        def iteration(last, masked):
+            """One min-sum iteration; both flags STATIC, as in bp_pallas:
+            the unmasked variant skips the done-mask V read/select pass and
+            runs until the first convergence event; ``last`` (posterior
+            formation) is hoisted out of the loop as one epilogue call."""
+            done = done_ref[0:1, :] > 0.5 if masked else None
             # -- check-node: normalized min-sum (decoder/min_sum.py rules) --
             for b in range(B):
                 ts = [vblock(b, l) for l in range(L)]
@@ -105,12 +109,13 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                     suf[i] = suf[i + 1] + evs[i + 1]
                 full = (pre[-1] + suf[-1]) + evs[-1]  # suf[-1] is 0: loo[-1]+term
                 for b in range(B):
-                    loo = pre[b] + suf[b]
-                    vv = prior_llr + jnp.where(last, full, loo)
+                    vv = prior_llr + (full if last else pre[b] + suf[b])
                     i = b * L + l
                     rolled = route(vv, P - int(graph.table[b, l]))
-                    old = v_ref[i * blk:(i + 1) * blk, :]
-                    v_ref[i * blk:(i + 1) * blk, :] = jnp.where(done, old, rolled)
+                    if masked:
+                        old = v_ref[i * blk:(i + 1) * blk, :]
+                        rolled = jnp.where(done, old, rolled)
+                    v_ref[i * blk:(i + 1) * blk, :] = rolled
 
         def not_converged():
             # per-lane: some valid-row message with |llr| < band (the LLR
@@ -122,12 +127,19 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
             return jnp.any(inside, axis=0, keepdims=True)  # (1, bt)
 
         def cond(state):
-            n, alldone = state
-            return (n < max_iters) & (alldone == 0)
+            n, alldone, _ = state
+            return (n < max_iters - 1) & (alldone == 0)
 
         def body(state):
-            n, _ = state
-            iteration(n)
+            n, _, anydone = state
+
+            @pl.when(anydone == 0)
+            def _():
+                iteration(False, masked=False)
+
+            @pl.when(anydone != 0)
+            def _():
+                iteration(False, masked=True)
 
             @pl.when((n % check_every) == 0)
             def _():
@@ -136,9 +148,18 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                 done_ref[0:1, :] = jnp.maximum(prev, conv)
 
             alldone = (jnp.min(done_ref[0:1, :]) > 0.5).astype(jnp.int32)
-            return n + 1, alldone
+            anydone = (jnp.max(done_ref[0:1, :]) > 0.5).astype(jnp.int32)
+            return n + 1, alldone, anydone
 
-        n_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+        n_loop, alldone, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+
+        # posterior epilogue (reference n == N-1), only if some lane is live
+        @pl.when(alldone == 0)
+        def _():
+            iteration(True, masked=True)
+
+        n_final = jnp.where(alldone == 0, n_loop + 1, n_loop)
 
         for i in range(NB):
             v_out_ref[i * P:(i + 1) * P, :] = v_ref[i * blk:i * blk + P, :]
