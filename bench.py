@@ -44,6 +44,7 @@ def main() -> int:
     from qec_ldpc_tpu.decoder import BPConfig
     from qec_ldpc_tpu.decoder.decode import CodeGraphs, kernel_consts
     from qec_ldpc_tpu.parallel.montecarlo import _chunk_body
+    from qec_ldpc_tpu.sampling import NUM_COUNTERS
 
     code = construct_code(4, 5, 10, 61, 9, 49)
     graphs = CodeGraphs.build(code)
@@ -69,7 +70,7 @@ def main() -> int:
                                      jnp.float32(0.01), cfg, batch, "weight",
                                      consts)
             return (counters + cnt, jnp.minimum(min_it, jnp.min(iters))), None
-        init = (jnp.zeros(9, jnp.int32), jnp.int32(2**31 - 1))
+        init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.int32(2**31 - 1))
         (counters, min_it), _ = jax.lax.scan(
             body, init, jnp.arange(chunks, dtype=jnp.uint32))
         return counters, min_it

@@ -27,21 +27,22 @@ import glob
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from benchmarks.common import emit, setup_jax_cache
 
-REF_GLOB = ("/root/reference/QEC_LDPC/results/[[]4,5,10,61,9,49[]]/"
+REF_GLOB = ("/root/reference/QEC_LDPC/results/[[]{spec}[]]/"
             "*_W_{w}_MAX_{m}_p_{p}.txt")
 
 
-def reference_fractions(weight: int, max_iters: int, p_label: float):
-    """(corrected, logical, tested) from the reference corpus, or None.
-    ``p_label`` is the p in the FILE NAME (see provenance note above)."""
+def reference_fractions(code_params, weight: int, max_iters: int,
+                        p_label: float):
+    """(corrected, logical, tested) from the reference corpus for the code
+    with these (J,K,L,P,sigma,tau) params, or None.  ``p_label`` is the p in
+    the FILE NAME (see provenance note above)."""
     from qec_ldpc_tpu.harness.stats import parse_reference_text
 
-    pat = REF_GLOB.format(w=weight, m=max_iters, p=p_label)
+    spec = ",".join(str(x) for x in code_params)
+    pat = REF_GLOB.format(spec=spec, w=weight, m=max_iters, p=p_label)
     recs = []
     for path in glob.glob(pat):
         with open(path) as f:
@@ -83,15 +84,19 @@ def main() -> int:
     graphs = CodeGraphs.build(code)
     cfg = BPConfig(max_iters=args.iters, kernel="pallas")
 
+    # round count UP to a whole number of dispatch groups so every dispatch
+    # has one compiled shape; then one group-sized warm-up run per weight
+    # covers compilation and the timed sweep is compile-free
+    group = args.batch * args.steps_per_call
+    count = -(-args.count // group) * group
     for w in (int(x) for x in args.weights.split(",")):
-        def sweep_once():
-            return run_monte_carlo(
-                graphs, w, args.count, args.p, cfg, seed=args.seed + w,
-                batch_size=args.batch, steps_per_call=args.steps_per_call)
-
-        sweep_once()  # compile warm-up (same shapes -> second run is cached)
+        run_monte_carlo(graphs, w, group, args.p, cfg, seed=args.seed + w,
+                        batch_size=args.batch,
+                        steps_per_call=args.steps_per_call)  # warm-up
         t0 = time.perf_counter()
-        counters, bp_iters = sweep_once()
+        counters, bp_iters = run_monte_carlo(
+            graphs, w, count, args.p, cfg, seed=args.seed + w,
+            batch_size=args.batch, steps_per_call=args.steps_per_call)
         secs = time.perf_counter() - t0
         tested = int(counters[C_TESTED])
         rec = {
@@ -109,7 +114,7 @@ def main() -> int:
             "samples_per_s": round(tested / secs, 1),
             "bp_iters_total": int(bp_iters),
         }
-        ref = reference_fractions(w, args.iters, args.ref_label_p)
+        ref = reference_fractions(args.code, w, args.iters, args.ref_label_p)
         if ref is not None:
             rec["ref_corrected_frac"] = round(ref[0], 5)
             rec["ref_logical_frac"] = round(ref[1], 5)

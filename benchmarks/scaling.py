@@ -82,7 +82,7 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     chunk_ids = jnp.arange(args.chunks, dtype=jnp.uint32)
 
-    base_rate = None
+    base_rate = base_d = None
     for d in counts:
         assert d <= len(devices), f"need {d} devices, have {len(devices)}"
         mesh = make_mesh(num_data=d, devices=devices[:d])
@@ -99,15 +99,15 @@ def main() -> int:
         samples = args.chunks * args.batch_per_device * d
         rate = samples * args.iters / secs
         if base_rate is None:
-            base_rate = rate
+            base_rate, base_d = rate, d
         emit({
             "metric": "mc_scaling",
             "devices": d,
             "platform": devices[0].platform,
             "bp_iter_codewords_per_s": round(rate, 1),
             "samples_per_s": round(samples / secs, 1),
-            "speedup_vs_1dev": round(rate / base_rate, 2),
-            "parallel_efficiency": round(rate / (base_rate * d), 3),
+            "speedup_vs_base": round(rate / base_rate, 2),
+            "parallel_efficiency": round((rate / base_rate) / (d / base_d), 3),
             "unit": (f"weak scaling, {args.batch_per_device} samples/device, "
                      f"fixed {args.iters} iters, {args.algorithm}:{args.kernel}"),
         })

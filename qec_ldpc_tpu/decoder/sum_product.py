@@ -49,9 +49,10 @@ class BPConfig:
     algorithm: str = "sum-product"
     #: normalization factor for min-sum check-node messages
     min_sum_alpha: float = 0.75
-    #: BP engine: "xla" (decoder/sum_product.py loop) or "pallas" (fused
-    #: VMEM-resident kernel, kernels/bp_pallas.py — ~8x faster per chip;
-    #: sum-product only).  On CPU the pallas path runs in interpret mode.
+    #: BP engine: "xla" (decoder/{sum_product,min_sum}.py loops) or "pallas"
+    #: (fused VMEM-resident kernels — kernels/bp_pallas.py for sum-product,
+    #: kernels/min_sum_pallas.py for min-sum; ~6x faster per chip).  On CPU
+    #: the pallas path runs in interpret mode.
     kernel: str = "xla"
     #: batch tile per kernel instance (must divide batch; bounded by VMEM)
     kernel_tile_batch: int = 512
