@@ -54,8 +54,10 @@ class BPConfig:
     #: kernels/min_sum_pallas.py for min-sum; ~6x faster per chip).  On CPU
     #: the pallas path runs in interpret mode.
     kernel: str = "xla"
-    #: batch tile per kernel instance (must divide batch; bounded by VMEM)
-    kernel_tile_batch: int = 512
+    #: batch tile per kernel instance (must divide batch; bounded by VMEM).
+    #: 128 measured fastest on v5e for the [[610,61]] code (9% over 512:
+    #: better VMEM locality / grid pipelining, finer early-exit granularity)
+    kernel_tile_batch: int = 128
     #: kernel message routing: "shift" (static VPU tile rolls — exact in f32,
     #: MXU-free, fastest) or "mxu" (HIGHEST-precision permutation matmuls,
     #: kept for cross-checking; needs the roll_operand runtime arg)

@@ -38,8 +38,8 @@ produces), and identical decisions and error codes.
 
 Measured on v5e (batch 2048, 100 fixed iterations, X graph of [[610,61]],
 device time isolated from the remote-dispatch tax by scanning chained calls
-on device): shift 5.8 ms, mxu 11.1 ms, XLA path 35.6 ms — the production
-shift routing is 6.1x the XLA loop.  (Further wins over the first shift
+on device): shift 5.3 ms (tile_batch=128), mxu 11.1 ms, XLA path 35.6 ms —
+the production shift routing is 6.7x the XLA loop.  (Further wins over the first shift
 version: posterior formation hoisted out of the loop, done-masking skipped
 until the first convergence event, and pad rows left as garbage instead of
 masked — each consumer is row-elementwise, so garbage never reaches valid
@@ -302,7 +302,7 @@ def bp_run_pallas(
     check_every: int = 10,
     conv_low: float = 0.01,
     conv_high: float = 0.99,
-    tile_batch: int = 512,
+    tile_batch: int = 128,
     interpret: bool = False,
     rolls: jnp.ndarray | None = None,
     roll_impl: str = "shift",

@@ -180,7 +180,7 @@ def min_sum_run_pallas(
     check_every: int = 10,
     conv_low: float = 0.01,
     alpha: float = 0.75,
-    tile_batch: int = 512,
+    tile_batch: int = 128,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused-kernel equivalent of min_sum.min_sum_run.
