@@ -1,9 +1,12 @@
 from qec_ldpc_tpu.codes.construction import (
     build_exponent_tables,
     build_i_minus_p,
+    check_css_orthogonal,
     expand_circulant,
+    find_code_params,
     gf2_annihilator,
     gf2_rref,
+    multiplicative_order,
 )
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode, construct_code, exponents_from_pcm
 from qec_ldpc_tpu.codes.loader import load_code_file, save_code_file
@@ -16,6 +19,9 @@ __all__ = [
     "build_exponent_tables",
     "expand_circulant",
     "build_i_minus_p",
+    "check_css_orthogonal",
+    "find_code_params",
+    "multiplicative_order",
     "gf2_annihilator",
     "gf2_rref",
     "exponents_from_pcm",

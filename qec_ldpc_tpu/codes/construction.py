@@ -146,3 +146,64 @@ def build_i_minus_p(pcm_x: np.ndarray, pcm_z: np.ndarray) -> np.ndarray:
     imp[:n, :n] = ax
     imp[n:, n:] = az
     return imp
+
+
+def multiplicative_order(a: int, p: int) -> int | None:
+    """Multiplicative order of ``a`` in Z_p*, or None if gcd(a, p) != 1."""
+    if np.gcd(a, p) != 1:
+        return None
+    x, order = a % p, 1
+    while x != 1:
+        x = x * a % p
+        order += 1
+    return order
+
+
+def check_css_orthogonal(hc: np.ndarray, hd: np.ndarray, P: int) -> bool:
+    """CSS condition HC_bin @ HD_bin^T == 0 (mod 2), checked on the exponent
+    tables directly: circulant block (j, k) of the product is
+    sum_l x^(hc[j,l] - hd[k,l]) mod (x^P - 1) over GF(2), which vanishes iff
+    every difference value occurs an even number of times.  O(J*K*L) instead
+    of a dense (J*P x L*P) @ (L*P x K*P) product."""
+    hc = np.asarray(hc) % P
+    hd = np.asarray(hd) % P
+    for j in range(hc.shape[0]):
+        for k in range(hd.shape[0]):
+            _, counts = np.unique((hc[j] - hd[k]) % P, return_counts=True)
+            if (counts % 2).any():
+                return False
+    return True
+
+
+def find_code_params(J: int, K: int, L: int, P: int,
+                     count: int = 1) -> list[tuple[int, int]]:
+    """Search (sigma, tau) producing a valid CSS code for (J, K, L, P).
+
+    The Hagiwara–Imai construction is CSS-orthogonal exactly when sigma has
+    multiplicative order L/2 in Z_P* (verified empirically: both reference
+    codes satisfy it — ord(2 mod 7) = 3 = 6/2, ord(9 mod 61) = 5 = 10/2 — and
+    an exhaustive P=61 scan found orthogonality for all tau and only those
+    sigma).  This searches sigma of order L/2 and filters each (sigma, tau)
+    through :func:`check_css_orthogonal`, enabling construction of larger
+    lifted codes (e.g. ``find_code_params(4, 5, 10, 131)`` -> (53, 1)) for
+    scaling studies.  Returns up to ``count`` (sigma, tau) pairs in ascending
+    order; raises if L is odd or no generator of order L/2 exists mod P.
+    """
+    if L % 2 != 0:
+        raise ValueError(f"L={L} must be even (construction splits at L/2)")
+    half = L // 2
+    sigmas = [s for s in range(2, P)
+              if multiplicative_order(s, P) == half]
+    if not sigmas:
+        raise ValueError(
+            f"no element of multiplicative order L/2={half} exists mod P={P} "
+            f"(need L/2 to divide P-1 for prime P)")
+    found: list[tuple[int, int]] = []
+    for s in sigmas:
+        for t in range(1, P):
+            hc, hd = build_exponent_tables(J, K, L, P, s, t)
+            if check_css_orthogonal(hc, hd, P):
+                found.append((s, t))
+                if len(found) >= count:
+                    return found
+    return found

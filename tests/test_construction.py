@@ -115,3 +115,62 @@ def test_save_load_roundtrip(tmp_path):
 def test_construct_rejects_noninvertible_sigma():
     with pytest.raises(ValueError):
         construct_code(3, 3, 6, 9, 3, 2)  # gcd(3, 9) != 1
+
+
+def test_find_code_params_recovers_reference_family():
+    """The search recognizes both reference codes' (sigma, tau) as valid and
+    the order-L/2 characterization holds."""
+    from qec_ldpc_tpu.codes import (
+        build_exponent_tables, check_css_orthogonal, find_code_params,
+        multiplicative_order,
+    )
+
+    assert multiplicative_order(2, 7) == 3      # L/2 for the [[42,0]] code
+    assert multiplicative_order(9, 61) == 5     # L/2 for the [[610,61]] code
+    hc, hd = build_exponent_tables(4, 5, 10, 61, 9, 49)
+    assert check_css_orthogonal(hc, hd, 61)
+    found = find_code_params(3, 3, 6, 7, count=50)
+    assert (2, 3) in found                      # the shipped small code
+
+
+def test_find_code_params_builds_valid_larger_code():
+    """Search params for a larger lift (P=131), construct, verify CSS
+    orthogonality densely, and decode a weight-1 error end-to-end."""
+    import jax
+    import jax.numpy as jnp
+
+    from qec_ldpc_tpu.codes import construct_code, find_code_params
+    from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs, decode_batch
+    from qec_ldpc_tpu.sampling import sample_weight_w_errors
+
+    (sigma, tau), = find_code_params(4, 5, 10, 131, count=1)
+    code = construct_code(4, 5, 10, 131, sigma, tau)
+    assert ((code.pcm_x.astype(int) @ code.pcm_z.astype(int).T) % 2 == 0).all()
+    graphs = CodeGraphs.build(code)
+    xe, ze = sample_weight_w_errors(jax.random.PRNGKey(4), code.n, 1, 8)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    res = decode_batch(graphs, sx, sz, 0.01, BPConfig(max_iters=30))
+    assert (np.asarray(res.error_code) == 0).all()
+    assert np.array_equal(np.asarray(res.decisions_x), np.asarray(xe))
+    assert np.array_equal(np.asarray(res.decisions_z), np.asarray(ze))
+
+
+def test_check_css_orthogonal_matches_dense_product(rng):
+    """The exponent-level multiset check agrees with the dense mod-2 product
+    on random tables (both orthogonal and non-orthogonal cases)."""
+    from qec_ldpc_tpu.codes import check_css_orthogonal
+    from qec_ldpc_tpu.codes.construction import expand_circulant
+
+    P = 11
+    hits = 0
+    for _ in range(30):
+        hc = rng.integers(0, P, size=(2, 4))
+        hd = rng.integers(0, P, size=(3, 4))
+        want = ((expand_circulant(hc, P).astype(int)
+                 @ expand_circulant(hd, P).astype(int).T) % 2 == 0).all()
+        got = check_css_orthogonal(hc, hd, P)
+        assert got == bool(want)
+        hits += bool(want)
+    # sanity: the random sample should contain non-orthogonal cases
+    assert hits < 30
