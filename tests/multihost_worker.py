@@ -1,0 +1,58 @@
+"""Worker process for the multi-host loopback test (test_multihost.py).
+
+Each worker owns 4 virtual CPU devices; two workers form an 8-device global
+mesh via jax.distributed (loopback coordinator).  Runs one sharded
+Monte-Carlo chunk group over the GLOBAL data axis and prints the psum-reduced
+counters — which must be identical across processes and equal to a
+single-process 8-device run (per-sample keys derive from global device
+index, independent of the process partition).
+
+Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id>
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=4").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main() -> int:
+    coordinator, num_procs, proc_id = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]))
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_procs, process_id=proc_id)
+    assert jax.process_count() == num_procs
+    assert len(jax.devices()) == 4 * num_procs  # global view
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from qec_ldpc_tpu.codes import construct_code
+    from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+    from qec_ldpc_tpu.parallel import make_mesh, make_sharded_chunk
+
+    code = construct_code(3, 3, 6, 7, 2, 3)
+    graphs = CodeGraphs.build(code)
+    mesh = make_mesh(num_data=len(jax.devices()))  # global mesh, DCN-spanning
+    chunk_fn = make_sharded_chunk(mesh, graphs, weight=2,
+                                  cfg=BPConfig(max_iters=20),
+                                  batch_per_device=16)
+    counters, iters = chunk_fn(jnp.asarray(code.i_minus_p),
+                               jax.random.PRNGKey(7), jnp.float32(0.02),
+                               jnp.arange(2, dtype=jnp.uint32), None)
+    print("COUNTERS", ",".join(map(str, np.asarray(counters).tolist())),
+          flush=True)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
