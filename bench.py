@@ -78,7 +78,8 @@ def main() -> int:
     key = jax.random.PRNGKey(0)
     counters, min_it = run(key, consts, i_minus_p)  # compile + warm up
     counters = np.asarray(counters)
-    assert int(min_it) == max_iters, f"early exit leaked: {int(min_it)}"
+    # iters are lane-iteration sums: full work = max_iters per lane
+    assert int(min_it) == max_iters * batch, f"early exit leaked: {int(min_it)}"
     assert counters[0] == chunks * batch, counters
 
     best = float("inf")
@@ -87,7 +88,7 @@ def main() -> int:
         counters, min_it = run(key, consts, i_minus_p)
         counters = np.asarray(counters)  # materialize: full host sync
         best = min(best, time.perf_counter() - t0)
-    assert int(min_it) == max_iters
+    assert int(min_it) == max_iters * batch
 
     samples = chunks * batch
     iter_samples_per_s = samples * max_iters / best

@@ -77,7 +77,9 @@ def main() -> int:
         def dispatch():
             counters, min_it = run(key, consts, i_minus_p)
             counters = np.asarray(counters)
-            assert int(min_it) == args.iters, f"early exit leaked: {int(min_it)}"
+            # iters are lane-iteration sums: full work = iters per lane
+            assert int(min_it) == args.iters * args.batch, (
+                f"early exit leaked: {int(min_it)}")
             assert counters[0] == args.chunks * args.batch, counters
 
         secs = best_time(dispatch)

@@ -57,7 +57,8 @@ class CodeGraphs:
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=("decisions_x", "decisions_z", "error_code", "iters_x", "iters_z"),
+         data_fields=("decisions_x", "decisions_z", "error_code", "iters_x",
+                      "iters_z", "iter_samples_x", "iter_samples_z"),
          meta_fields=())
 @dataclasses.dataclass
 class DecodeResult:
@@ -66,8 +67,14 @@ class DecodeResult:
     decisions_x: jnp.ndarray  # (num_vars, batch) int8 hard decisions
     decisions_z: jnp.ndarray
     error_code: jnp.ndarray   # (batch,) int32 bitmask
-    iters_x: jnp.ndarray      # () iterations executed by the batched loop
+    iters_x: jnp.ndarray      # () max iterations executed by any batch lane
     iters_z: jnp.ndarray
+    #: () total executed lane-iterations (sum over batch of each lane's
+    #: iteration count) — the HONEST work measure under early exit
+    #: (SURVEY §7: masked/executed iterations must be counted faithfully;
+    #: Pallas tiles exit independently, so this can be < iters * batch)
+    iter_samples_x: jnp.ndarray
+    iter_samples_z: jnp.ndarray
 
 
 def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
@@ -104,12 +111,15 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
                 interpret=(jax.default_backend() == "cpu"),
             )
             iters = jnp.max(per_col_iters)
+            iter_samples = jnp.sum(per_col_iters)
         else:
             v, iters = min_sum_run(
                 graph, syndrome, prior,
                 max_iters=cfg.max_iters, check_every=cfg.check_every,
                 conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
             )
+            # the XLA loop runs every lane until the global exit
+            iter_samples = iters * syndrome.shape[-1]
         # LLR images of the reference's probability-domain semantics:
         # "any incident message >= 0.5" <=> any incident llr <= 0
         vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
@@ -129,12 +139,14 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
                 roll_impl=cfg.kernel_roll_impl,
             )
             iters = jnp.max(per_col_iters)
+            iter_samples = jnp.sum(per_col_iters)
         else:
             v, iters = bp_run(
                 graph, syndrome, prior,
                 max_iters=cfg.max_iters, check_every=cfg.check_every,
                 conv_low=cfg.conv_low, conv_high=cfg.conv_high,
             )
+            iter_samples = iters * syndrome.shape[-1]
         # hard decision: any incident message >= 0.5 (DecoderCPU.h:354-373)
         vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
         decisions = jnp.any(vv >= cfg.hard_threshold, axis=0).astype(jnp.int8)
@@ -142,7 +154,7 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
     # re-encode and compare syndromes (DecoderCPU.h:380-384)
     s_hat = graph.syndrome(decisions.astype(jnp.int32))
     syn_fail = jnp.any(s_hat != syndrome, axis=0)
-    return decisions, conv_fail, syn_fail, iters
+    return decisions, conv_fail, syn_fail, iters, iter_samples
 
 
 @partial(jax.jit, static_argnames=("graphs", "cfg"))
@@ -157,10 +169,10 @@ def decode_batch(
     if consts is None:
         consts = kernel_consts(graphs, cfg)
     prior = jnp.float32(cfg.prior_factor) * jnp.asarray(error_probability, jnp.float32)
-    dx, cfx, sfx, itx = _decode_one_graph(
+    dx, cfx, sfx, itx, isx = _decode_one_graph(
         graphs.x, syndrome_x, prior, cfg,
         rolls=None if consts is None else consts["x"])
-    dz, cfz, sfz, itz = _decode_one_graph(
+    dz, cfz, sfz, itz, isz = _decode_one_graph(
         graphs.z, syndrome_z, prior, cfg,
         rolls=None if consts is None else consts["z"])
     code = (
@@ -170,7 +182,8 @@ def decode_batch(
         + cfz.astype(jnp.int32) * CONVERGENCE_FAIL_Z
     )
     return DecodeResult(decisions_x=dx, decisions_z=dz, error_code=code,
-                        iters_x=itx, iters_z=itz)
+                        iters_x=itx, iters_z=itz,
+                        iter_samples_x=isx, iter_samples_z=isz)
 
 
 def syndromes_from_errors(

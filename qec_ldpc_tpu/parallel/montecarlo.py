@@ -36,7 +36,10 @@ from qec_ldpc_tpu.sampling.errors import (
 def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
                 weight: int, error_probability, cfg: BPConfig, batch: int,
                 error_model: str, consts=None):
-    """Sample + decode + classify one batch; returns (counters[9], iters[2])."""
+    """Sample + decode + classify one batch.  Returns (counters[NUM_COUNTERS],
+    iters[2]) with iters = executed BP lane-iterations (sum over batch lanes
+    of each lane's iteration count) for [X, Z] — the honest work measure
+    under early exit (SURVEY §7)."""
     n = graphs.code.n
     if error_model == "weight":
         xe, ze = sample_weight_w_errors(key, n, weight, batch)
@@ -53,7 +56,7 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
                               res.decisions_x.astype(jnp.int32),
                               res.decisions_z.astype(jnp.int32),
                               res.error_code)
-    iters = jnp.stack([res.iters_x, res.iters_z])
+    iters = jnp.stack([res.iter_samples_x, res.iter_samples_z])
     return counters, iters
 
 
@@ -164,7 +167,8 @@ def run_monte_carlo(
 
     ``start_chunk``/``init_counters`` support journal-based resume
     (harness/journal.py); ``start_chunk`` counts dispatch groups.
-    Returns (counters[NUM_COUNTERS], total_bp_iters).
+    Returns (counters[NUM_COUNTERS], total_bp_iters) where total_bp_iters
+    counts executed BP lane-iterations (X + Z) across all samples.
     """
     i_minus_p = jnp.asarray(graphs.code.i_minus_p)
     key = jax.random.PRNGKey(seed)
