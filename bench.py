@@ -1,23 +1,32 @@
-"""Headline benchmark: BP-iteration throughput on the [[610,61]] flagship code.
+"""Headline benchmark: the reference's own headline workload on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: BP-iteration * codewords / second / chip for the FULL Monte-Carlo
+Headline metric: **samples decoded per second** on the reference's headline
+benchmark workload — the [[610,61]] code at W=15, p=0.01, MAX_ITERATIONS=100,
+convergence checked every 10 iterations with early exit, full Monte-Carlo
 pipeline (sample weight-15 Pauli errors -> X/Z syndromes -> batched
-sum-product decode via the fused Pallas kernel -> classify -> counters),
-fixed 100-iteration decode (convergence exit disabled, verified per chunk:
-every lane executes exactly 100 X-iterations and 100 Z-iterations; iteration*
-samples counted per sample, matching the baseline derivation).
+sum-product decode via the fused Pallas kernel -> classify -> counters).
+This is apples-to-apples with the reference's own number: its CPU+OpenMP
+harness decoded 100 000 such samples in 112.73 s = 887 samples/s, *with* the
+same per-sample early exit (BP breaks on convergence, DecoderCPU.h:282,287),
+per results/[J=4,K=5,L=10,P=61,s=9,t=49][[n=610,k=61]]_W_15_MAX_100_p_0.01.txt
+(SURVEY §6).  Statistical parity is asserted in the same run: the corrected
+fraction must match the reference's 0.99539 within Monte-Carlo noise.
 
-Chunks are scanned on device inside one dispatch: the tunneled TPU runtime
-costs ~30-70 ms per dispatch, which would otherwise dominate; production runs
-amortize identically (parallel/montecarlo.py steps_per_call).
+Secondary fields (same JSON line): fixed-work BP-iteration throughput — the
+north-star metric of BASELINE.json (>=1e6 BP-iteration*codewords/s/chip) —
+measured with the convergence exit disabled so every lane executes exactly
+100 X- and 100 Z-iterations (verified per chunk), iteration*samples counted
+per sample exactly as the baseline derivation (887 samples/s x <=100 iters
+<= 8.87e4 iter*samples/s for the whole reference machine).
 
-Baseline: the reference CPU+OpenMP harness measured 887 samples/s at
-W=15/MAX=100/p=0.01 on the author's workstation, i.e. <= 8.87e4
-BP-iteration*samples/s for the whole CPU (SURVEY §6; results file
-results/[J=4,K=5,L=10,P=61,s=9,t=49][[n=610,k=61]]_W_15_MAX_100_p_0.01.txt).
+Methodology: chunks are scanned on device inside one dispatch — the tunneled
+TPU runtime costs ~30-70 ms per dispatch, which would otherwise dominate;
+production runs amortize identically (parallel/montecarlo.py steps_per_call).
+The early-exit run times 1 048 576 samples (10 dispatches) so the dispatch
+tax is <5%; parity counters come from the same run.
 """
 
 import json
@@ -26,7 +35,9 @@ import time
 
 import numpy as np
 
-BASELINE_ITER_SAMPLES_PER_S = 8.87e4
+BASELINE_SAMPLES_PER_S = 887.0       # reference headline, SURVEY §6
+BASELINE_ITER_SAMPLES_PER_S = 8.87e4  # derived: 887 samples/s x <=100 iters
+REFERENCE_CORRECTED_FRACTION = 0.99539  # 99539 / 100000, same results file
 
 
 def main() -> int:
@@ -43,20 +54,47 @@ def main() -> int:
     from qec_ldpc_tpu.codes import construct_code
     from qec_ldpc_tpu.decoder import BPConfig
     from qec_ldpc_tpu.decoder.decode import CodeGraphs, kernel_consts
-    from qec_ldpc_tpu.parallel.montecarlo import _chunk_body
+    from qec_ldpc_tpu.parallel.montecarlo import _chunk_body, run_monte_carlo
     from qec_ldpc_tpu.sampling import NUM_COUNTERS
 
     code = construct_code(4, 5, 10, 61, 9, 49)
     graphs = CodeGraphs.build(code)
     max_iters = 100
     batch = 2048
-    chunks = 64
     weight = 15
+    i_minus_p = jnp.asarray(code.i_minus_p)
+
+    # ---- headline: reference workload, early exit on (check every 10) ----
+    ee_cfg = BPConfig(max_iters=max_iters, check_every=10, kernel="pallas")
+    count = 512 * batch  # 1 048 576 samples: dispatch tax < 5%
+
+    def ee_run():
+        return run_monte_carlo(graphs, weight, count, 0.01, ee_cfg, seed=1,
+                               batch_size=batch, steps_per_call=52)
+
+    counters, lane_iters = ee_run()  # compile + warm up
+    best_ee = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        counters, lane_iters = ee_run()
+        best_ee = min(best_ee, time.perf_counter() - t0)
+    tested = int(counters[0])
+    corrected_fraction = counters[3] / counters[0]
+    assert tested >= count, counters
+    # statistical parity gate vs the reference's recorded run: binomial
+    # 4-sigma band around its 0.99539 at our sample count
+    sigma = (REFERENCE_CORRECTED_FRACTION
+             * (1 - REFERENCE_CORRECTED_FRACTION) / tested) ** 0.5
+    assert abs(corrected_fraction - REFERENCE_CORRECTED_FRACTION) < 4 * sigma + 1e-4, (
+        corrected_fraction)
+    samples_per_s = tested / best_ee
+
+    # ---- secondary: fixed-work BP-iteration throughput (north star) ----
+    chunks = 64
     # check_every > max_iters disables the convergence exit after the
     # (vacuous) n=0 check -> fixed work; verified via the iters output below
     cfg = BPConfig(max_iters=max_iters, check_every=max_iters + 1,
                    kernel="pallas")
-    i_minus_p = jnp.asarray(code.i_minus_p)
     # kernel roll operands as runtime args, NOT trace-time constants: keeps
     # the HLO module small so remote compiles are fast and cacheable
     consts = kernel_consts(graphs, cfg)
@@ -64,41 +102,48 @@ def main() -> int:
     @jax.jit
     def run(key, consts, i_minus_p):
         def body(carry, c):
-            counters, min_it = carry
+            cnt_acc, min_it = carry
             ck = jax.random.fold_in(key, c)
             cnt, iters = _chunk_body(graphs, i_minus_p, ck, weight,
                                      jnp.float32(0.01), cfg, batch, "weight",
                                      consts)
-            return (counters + cnt, jnp.minimum(min_it, jnp.min(iters))), None
+            return (cnt_acc + cnt, jnp.minimum(min_it, jnp.min(iters))), None
         init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.int32(2**31 - 1))
-        (counters, min_it), _ = jax.lax.scan(
+        (cnt, min_it), _ = jax.lax.scan(
             body, init, jnp.arange(chunks, dtype=jnp.uint32))
-        return counters, min_it
+        return cnt, min_it
 
     key = jax.random.PRNGKey(0)
-    counters, min_it = run(key, consts, i_minus_p)  # compile + warm up
-    counters = np.asarray(counters)
+    fw_counters, min_it = run(key, consts, i_minus_p)  # compile + warm up
+    fw_counters = np.asarray(fw_counters)
     # iters are lane-iteration sums: full work = max_iters per lane
     assert int(min_it) == max_iters * batch, f"early exit leaked: {int(min_it)}"
-    assert counters[0] == chunks * batch, counters
+    assert fw_counters[0] == chunks * batch, fw_counters
 
-    best = float("inf")
+    best_fw = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        counters, min_it = run(key, consts, i_minus_p)
-        counters = np.asarray(counters)  # materialize: full host sync
-        best = min(best, time.perf_counter() - t0)
+        fw_counters, min_it = run(key, consts, i_minus_p)
+        fw_counters = np.asarray(fw_counters)  # materialize: full host sync
+        best_fw = min(best_fw, time.perf_counter() - t0)
     assert int(min_it) == max_iters * batch
 
-    samples = chunks * batch
-    iter_samples_per_s = samples * max_iters / best
+    iter_samples_per_s = chunks * batch * max_iters / best_fw
     result = {
-        "metric": "bp_iteration_codewords_per_s_per_chip",
-        "value": round(iter_samples_per_s, 1),
-        "unit": (f"BP-iter*codewords/s/chip (full pipeline: sample+decode+"
-                 f"classify, sum-product Pallas kernel, n=610 code, fixed "
-                 f"{max_iters} iters, {chunks}x{batch} samples/dispatch)"),
-        "vs_baseline": round(iter_samples_per_s / BASELINE_ITER_SAMPLES_PER_S, 2),
+        "metric": "samples_per_s_per_chip_reference_headline_workload",
+        "value": round(samples_per_s, 1),
+        "unit": ("samples/s/chip ([[610,61]], W=15, p=0.01, MAX=100, "
+                 "early exit, full pipeline sample+X/Z decode+classify, "
+                 "sum-product Pallas kernel; reference CPU: 887 samples/s "
+                 "on the identical workload)"),
+        "vs_baseline": round(samples_per_s / BASELINE_SAMPLES_PER_S, 2),
+        "corrected_fraction": round(float(corrected_fraction), 5),
+        "reference_corrected_fraction": REFERENCE_CORRECTED_FRACTION,
+        "executed_bp_lane_iters_per_s": round(int(lane_iters) / best_ee, 1),
+        "fixed_work_bp_iter_codewords_per_s_per_chip": round(
+            iter_samples_per_s, 1),
+        "fixed_work_vs_baseline": round(
+            iter_samples_per_s / BASELINE_ITER_SAMPLES_PER_S, 2),
     }
     print(json.dumps(result))
     return 0
