@@ -89,6 +89,28 @@ def main() -> int:
         corrected_fraction)
     samples_per_s = tested / best_ee
 
+    # ---- secondary: layered min-sum, the framework's fastest decode ----
+    # serial block-row schedule (decoder/layered.py): converges in ~3 sweeps
+    # where flooding needs ~11 iterations, at a BETTER corrected fraction
+    # than the reference's sum-product (no parity claim — it is a different,
+    # stronger decoder; the headline above stays reference-faithful)
+    ly_cfg = BPConfig(max_iters=max_iters, algorithm="layered-min-sum",
+                      kernel="pallas")
+
+    def ly_run():
+        return run_monte_carlo(graphs, weight, count, 0.01, ly_cfg, seed=1,
+                               batch_size=batch, steps_per_call=52)
+
+    ly_counters, _ = ly_run()  # compile + warm up
+    best_ly = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ly_counters, _ = ly_run()
+        best_ly = min(best_ly, time.perf_counter() - t0)
+    ly_corrected = ly_counters[3] / ly_counters[0]
+    assert ly_corrected >= REFERENCE_CORRECTED_FRACTION - 4 * sigma, ly_corrected
+    layered_samples_per_s = int(ly_counters[0]) / best_ly
+
     # ---- secondary: fixed-work BP-iteration throughput (north star) ----
     chunks = 64
     # check_every > max_iters disables the convergence exit after the
@@ -140,6 +162,10 @@ def main() -> int:
         "corrected_fraction": round(float(corrected_fraction), 5),
         "reference_corrected_fraction": REFERENCE_CORRECTED_FRACTION,
         "executed_bp_lane_iters_per_s": round(int(lane_iters) / best_ee, 1),
+        "layered_min_sum_samples_per_s": round(layered_samples_per_s, 1),
+        "layered_min_sum_vs_baseline": round(
+            layered_samples_per_s / BASELINE_SAMPLES_PER_S, 2),
+        "layered_min_sum_corrected_fraction": round(float(ly_corrected), 5),
         "fixed_work_bp_iter_codewords_per_s_per_chip": round(
             iter_samples_per_s, 1),
         "fixed_work_vs_baseline": round(

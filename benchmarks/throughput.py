@@ -30,7 +30,8 @@ def main() -> int:
     ap.add_argument("--code", type=int, nargs=6, default=[4, 5, 10, 61, 9, 49],
                     metavar=("J", "K", "L", "P", "sigma", "tau"))
     ap.add_argument("--configs", default=(
-        "sum-product:pallas,sum-product:xla,min-sum:pallas,min-sum:xla"))
+        "sum-product:pallas,sum-product:xla,min-sum:pallas,min-sum:xla,"
+        "layered-min-sum:pallas,layered-min-sum:xla"))
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--chunks", type=int, default=64)
@@ -56,6 +57,7 @@ def main() -> int:
     for spec in args.configs.split(","):
         algorithm, kernel = spec.strip().split(":")
         cfg = BPConfig(max_iters=args.iters, check_every=args.iters + 1,
+                       layered_check_every=args.iters + 1,
                        algorithm=algorithm, kernel=kernel)
         consts = kernel_consts(graphs, cfg)
 

@@ -9,6 +9,7 @@ from qec_ldpc_tpu.decoder.decode import (
     decode_batch,
     syndromes_from_errors,
 )
+from qec_ldpc_tpu.decoder.layered import layered_min_sum_run
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.min_sum import min_sum_run
 from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_update
@@ -16,6 +17,7 @@ from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_upd
 __all__ = [
     "BPConfig",
     "min_sum_run",
+    "layered_min_sum_run",
     "CirculantGraph",
     "CodeGraphs",
     "DecodeResult",

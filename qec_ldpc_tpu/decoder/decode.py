@@ -99,6 +99,35 @@ def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
 
 
 def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
+    if cfg.algorithm == "layered-min-sum":
+        from qec_ldpc_tpu.decoder.layered import layered_min_sum_run
+
+        if cfg.kernel == "pallas":
+            from qec_ldpc_tpu.kernels.layered_pallas import layered_run_pallas
+
+            q, per_col_iters = layered_run_pallas(
+                graph, syndrome, prior,
+                max_iters=cfg.max_iters, check_every=cfg.layered_check_every,
+                alpha=cfg.min_sum_alpha,
+                tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
+                interpret=(jax.default_backend() == "cpu"),
+            )
+            iters = jnp.max(per_col_iters)
+            iter_samples = jnp.sum(per_col_iters)
+        else:
+            q, iters = layered_min_sum_run(
+                graph, syndrome, prior,
+                max_iters=cfg.max_iters, check_every=cfg.layered_check_every,
+                alpha=cfg.min_sum_alpha,
+            )
+            iter_samples = iters * syndrome.shape[-1]
+        # layered maintains posteriors natively: hard decision is q <= 0;
+        # "failed to converge" === hard decision violates the syndrome, so
+        # conv_fail is derived from the common re-encode below
+        decisions = (q <= 0.0).astype(jnp.int8)
+        s_hat = graph.syndrome(decisions.astype(jnp.int32))
+        syn_fail = jnp.any(s_hat != syndrome, axis=0)
+        return decisions, syn_fail, syn_fail, iters, iter_samples
     if cfg.algorithm == "min-sum":
         if cfg.kernel == "pallas":
             from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas

@@ -44,11 +44,16 @@ class BPConfig:
     #: (the X-or-Y marginal of a uniform X/Y/Z error, DecoderCPU.h:259,325)
     prior_factor: float = 2.0 / 3.0
     hard_threshold: float = 0.5
-    #: "sum-product" (probability domain, reference-faithful) or "min-sum"
-    #: (normalized min-sum in LLR domain, decoder/min_sum.py)
+    #: "sum-product" (probability domain, reference-faithful), "min-sum"
+    #: (flooding normalized min-sum in LLR domain, decoder/min_sum.py), or
+    #: "layered-min-sum" (serial block-row schedule, decoder/layered.py —
+    #: converges in roughly half the flooding sweeps)
     algorithm: str = "sum-product"
     #: normalization factor for min-sum check-node messages
     min_sum_alpha: float = 0.75
+    #: convergence-test period for the layered schedule (its hard-decision
+    #: parity test is cheap and convergence is fast, so every sweep pays off)
+    layered_check_every: int = 1
     #: BP engine: "xla" (decoder/{sum_product,min_sum}.py loops) or "pallas"
     #: (fused VMEM-resident kernels — kernels/bp_pallas.py for sum-product,
     #: kernels/min_sum_pallas.py for min-sum; ~6x faster per chip).  On CPU

@@ -27,7 +27,7 @@ class RunConfig:
     batch_size: int = 1024
     results_dir: str = "results"
     log_file: str = "output_log.txt"
-    algorithm: str = "sum-product"   # or "min-sum"
+    algorithm: str = "sum-product"   # or "min-sum" / "layered-min-sum"
     error_model: str = "weight"      # or "depolarizing"
     use_mesh: bool = True            # shard over all local devices
     #: comma-separated physical error rates: sweep p (logical-error-rate
