@@ -38,9 +38,12 @@ matmuls (exact for 0/1 matrices at HIGHEST precision).  No gathers, static
 shapes — the constraints the TPU toolchain imposes on loop bodies.
 
 Numerics: the cross-device product reassociates the reference's serial
-accumulation (DecoderCPU.h:170-176), so the graph-sharded decoder is
-*statistically* equivalent to decoder/sum_product.py, not bit-exact; tests pin
-decision equality and message agreement to float tolerance.
+accumulation (DecoderCPU.h:170-176), so the graph-sharded sum-product decoder
+is *statistically* equivalent to decoder/sum_product.py, not bit-exact; tests
+pin decision equality and message agreement to float tolerance.  The min-sum
+variant's cross-shard reduction is a minimum and a +-1 sign product — exact
+under any association — so graph-sharded min-sum IS bit-identical to the
+single-device path.
 """
 
 from __future__ import annotations
@@ -105,6 +108,19 @@ def _other_device_product(local: jnp.ndarray, axis: str) -> jnp.ndarray:
     for i in range(g):
         term = jnp.where(me == i, jnp.ones_like(local), gathered[i])
         out = out * term
+    return out
+
+
+def _other_device_min(local: jnp.ndarray, axis: str) -> jnp.ndarray:
+    """Minimum over every *other* graph-shard's per-check partials (identity
+    +inf for our own shard).  Same one-collective shape as the product."""
+    gathered = jax.lax.all_gather(local, axis)
+    g = gathered.shape[0]
+    me = jax.lax.axis_index(axis)
+    out = jnp.full_like(local, jnp.inf)
+    for i in range(g):
+        term = jnp.where(me == i, jnp.full_like(local, jnp.inf), gathered[i])
+        out = jnp.minimum(out, term)
     return out
 
 
@@ -194,20 +210,123 @@ def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     return v_final, n_final
 
 
+def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
+                     prior: jnp.ndarray, to_var: jnp.ndarray,
+                     to_chk: jnp.ndarray, cfg: BPConfig):
+    """Per-device flooding normalized min-sum over the local Lc block-columns
+    (LLR domain, decoder/min_sum.py rules); runs inside shard_map.
+
+    The cross-shard check-node reduction is a minimum and a +-1 sign product —
+    both EXACT under any association order — and the variable-node sums are
+    shard-local, so unlike the sum-product variant this decoder is
+    bit-identical to the single-device min_sum_run (asserted by
+    tests/test_graph_sharded.py).
+    """
+    from qec_ldpc_tpu.decoder.min_sum import np_log_band
+
+    B, Pc = graph.B, graph.P
+    bt = syndrome.shape[-1]
+    NB = Lc * B
+    syn_sign = (1.0 - 2.0 * syndrome.astype(jnp.float32)).reshape(B, Pc * bt)
+    prior = jnp.asarray(prior, dtype=jnp.float32)
+    prior_llr = jnp.log1p(-prior) - jnp.log(prior)
+    band = float(np_log_band(cfg.conv_low))
+    v0 = jnp.broadcast_to(prior_llr, (NB * Pc, bt)).astype(jnp.float32) \
+        + 0.0 * syndrome[:1].astype(jnp.float32)
+    v0 = jax.lax.pcast(v0, (GRAPH_AXIS,), to="varying")
+    done0 = jnp.any(syndrome < 0, axis=0)
+
+    def cn(v):
+        t = v.reshape(Lc, B, Pc * bt)
+        mags = [jnp.abs(t[i]) for i in range(Lc)]
+        sgns = [jnp.where(t[i] < 0, -1.0, 1.0) for i in range(Lc)]
+        big = jnp.full_like(mags[0], jnp.inf)
+        ones = jnp.ones_like(sgns[0])
+        pre_m, pre_s = [big] * Lc, [ones] * Lc
+        for i in range(1, Lc):
+            pre_m[i] = jnp.minimum(pre_m[i - 1], mags[i - 1])
+            pre_s[i] = pre_s[i - 1] * sgns[i - 1]
+        suf_m, suf_s = [big] * Lc, [ones] * Lc
+        for i in range(Lc - 2, -1, -1):
+            suf_m[i] = jnp.minimum(suf_m[i + 1], mags[i + 1])
+            suf_s[i] = suf_s[i + 1] * sgns[i + 1]
+        local_min = jnp.minimum(pre_m[-1], mags[-1])
+        local_sgn = pre_s[-1] * sgns[-1]
+        other_min = _other_device_min(local_min, GRAPH_AXIS)    # (B, P*bt)
+        other_sgn = _other_device_product(local_sgn, GRAPH_AXIS)
+        es = []
+        for i in range(Lc):
+            loo_min = jnp.minimum(jnp.minimum(pre_m[i], suf_m[i]), other_min)
+            loo_sgn = pre_s[i] * suf_s[i] * other_sgn
+            es.append(syn_sign * (cfg.min_sum_alpha * loo_sgn * loo_min))
+        return jnp.stack(es).reshape(NB * Pc, bt)
+
+    def vn(e, last):
+        ev = _batched_roll(to_var, e.reshape(NB, Pc, bt))
+        ev = ev.reshape(Lc, B, Pc * bt)
+        terms = [ev[:, i] for i in range(B)]
+        zeros = jnp.zeros_like(terms[0])
+        pre = [zeros] * B
+        for i in range(1, B):
+            pre[i] = pre[i - 1] + terms[i - 1]
+        suf = [zeros] * B
+        for i in range(B - 2, -1, -1):
+            suf[i] = suf[i + 1] + terms[i + 1]
+        full = (pre[-1] + suf[-1]) + terms[-1]
+        outs = [prior_llr + jnp.where(last, full, pre[i] + suf[i])
+                for i in range(B)]
+        vv = jnp.stack(outs, axis=1).reshape(NB, Pc, bt)
+        return _batched_roll(to_chk, vv).reshape(NB * Pc, bt)
+
+    def not_conv(v):
+        local = jnp.any(jnp.abs(v) < band, axis=0)
+        return jax.lax.pmax(local.astype(jnp.int32), GRAPH_AXIS) > 0
+
+    def cond(state):
+        n, _, done = state
+        return (n < cfg.max_iters) & ~jnp.all(done)
+
+    def body(state):
+        n, v, done = state
+        e = cn(v)
+        v_new = vn(e, last=(n == cfg.max_iters - 1))
+        v_new = jnp.where(done[None, :], v, v_new)
+        check_now = (n % cfg.check_every) == 0
+        conv = check_now & ~not_conv(v_new)
+        return n + 1, v_new, done | conv
+
+    n_final, v_final, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), v0, done0))
+    return v_final, n_final
+
+
 def _decode_one_graph_sharded(graph, Lc, syndrome, prior, to_var, to_chk, cfg):
     """Local decisions + flags for one graph.  Returns
     (decisions (Lc*P, bt) var-order, conv_fail (bt,), syn_fail (bt,), iters)."""
     B, Pc = graph.B, graph.P
     bt = syndrome.shape[-1]
     NB = Lc * B
-    v, iters = _sharded_bp(graph, Lc, syndrome, prior, to_var, to_chk, cfg)
-    # hard decision per local var: any incident message >= 0.5
-    vv = _batched_roll(to_var, v.reshape(NB, Pc, bt)).reshape(Lc, B, Pc, bt)
-    decisions = jnp.any(vv >= cfg.hard_threshold, axis=1)     # (Lc, P, bt) bool
-    # convergence-fail: some local message in band on ANY shard
-    inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
-    conv_fail = jax.lax.pmax(
-        jnp.any(inside, axis=0).astype(jnp.int32), GRAPH_AXIS) > 0
+    if cfg.algorithm == "min-sum":
+        from qec_ldpc_tpu.decoder.min_sum import np_log_band
+
+        v, iters = _sharded_min_sum(graph, Lc, syndrome, prior, to_var,
+                                    to_chk, cfg)
+        # LLR images of the probability-domain semantics (decoder/decode.py)
+        vv = _batched_roll(to_var, v.reshape(NB, Pc, bt)).reshape(Lc, B, Pc, bt)
+        decisions = jnp.any(vv <= 0.0, axis=1)                # (Lc, P, bt)
+        band = float(np_log_band(cfg.conv_low))
+        conv_fail = jax.lax.pmax(
+            jnp.any(jnp.abs(v) < band, axis=0).astype(jnp.int32),
+            GRAPH_AXIS) > 0
+    else:
+        v, iters = _sharded_bp(graph, Lc, syndrome, prior, to_var, to_chk, cfg)
+        # hard decision per local var: any incident message >= 0.5
+        vv = _batched_roll(to_var, v.reshape(NB, Pc, bt)).reshape(Lc, B, Pc, bt)
+        decisions = jnp.any(vv >= cfg.hard_threshold, axis=1)  # (Lc, P, bt)
+        # convergence-fail: some local message in band on ANY shard
+        inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
+        conv_fail = jax.lax.pmax(
+            jnp.any(inside, axis=0).astype(jnp.int32), GRAPH_AXIS) > 0
     # re-encode: partial syndrome from local cols, psum mod 2 over shards
     d_f = decisions.astype(jnp.float32).reshape(Lc, 1, Pc, bt)
     d_rep = jnp.broadcast_to(d_f, (Lc, B, Pc, bt)).reshape(NB, Pc, bt)
@@ -235,9 +354,13 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
     Lc = L // G
     xv, xc = _roll_operands(graphs.x)
     zv, zc = _roll_operands(graphs.z)
-    if cfg.algorithm != "sum-product":
+    if cfg.algorithm not in ("sum-product", "min-sum"):
+        # the layered schedule serializes over block-ROWS, so block-column
+        # sharding would need one collective per layer per sweep; use it
+        # data-parallel (parallel/montecarlo.py) instead
         raise NotImplementedError(
-            "graph-sharded decode currently implements sum-product only")
+            "graph-sharded decode implements sum-product and min-sum; "
+            f"got {cfg.algorithm!r}")
 
     def shard_fn(sx, sz, p, xv, xc, zv, zc):
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)
