@@ -67,6 +67,9 @@ def main() -> int:
                          "corpus actually used — see provenance note)")
     ap.add_argument("--ref-label-p", type=float, default=0.01,
                     help="p as it appears in reference file names")
+    ap.add_argument("--algorithm", default="sum-product",
+                    help="sum-product (reference-faithful) | min-sum | "
+                         "layered-min-sum")
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps-per-call", type=int, default=4)
     ap.add_argument("--seed", type=int, default=20260818)
@@ -82,7 +85,8 @@ def main() -> int:
 
     code = construct_code(*args.code)
     graphs = CodeGraphs.build(code)
-    cfg = BPConfig(max_iters=args.iters, kernel="pallas")
+    cfg = BPConfig(max_iters=args.iters, kernel="pallas",
+                   algorithm=args.algorithm)
 
     # round count UP to a whole number of dispatch groups so every dispatch
     # has one compiled shape; then one group-sized warm-up run per weight
@@ -101,6 +105,7 @@ def main() -> int:
         tested = int(counters[C_TESTED])
         rec = {
             "metric": "ler_sweep",
+            "algorithm": args.algorithm,
             "weight": w,
             "p": args.p,
             "max_iters": args.iters,

@@ -86,6 +86,8 @@ def pack_rows(m: np.ndarray) -> tuple[np.ndarray, int]:
 def unpack_rows(packed: np.ndarray, cols: int) -> np.ndarray:
     """(rows, words) uint64 -> (rows, cols) uint8 0/1 matrix."""
     rows = packed.shape[0]
+    if rows == 0:
+        return np.zeros((0, cols), dtype=np.uint8)
     as_bytes = np.ascontiguousarray(packed).view(np.uint8).reshape(rows, -1)
     bits = np.unpackbits(as_bytes, axis=1, bitorder="little")
     return bits[:, :cols]
