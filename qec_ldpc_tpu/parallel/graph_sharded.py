@@ -41,9 +41,11 @@ Numerics: the cross-device product reassociates the reference's serial
 accumulation (DecoderCPU.h:170-176), so the graph-sharded sum-product decoder
 is *statistically* equivalent to decoder/sum_product.py, not bit-exact; tests
 pin decision equality and message agreement to float tolerance.  The min-sum
-variant's cross-shard reduction is a minimum and a +-1 sign product — exact
-under any association — so graph-sharded min-sum IS bit-identical to the
-single-device path.
+and layered-min-sum variants' cross-shard reductions are a minimum and a +-1
+sign product — exact under any association — so graph-sharded min-sum and
+layered-min-sum ARE bit-identical to the single-device paths.  The layered
+schedule pays one (packed) collective per block-row layer per sweep instead
+of one per sweep — same bytes, more latency — see _sharded_layered.
 """
 
 from __future__ import annotations
@@ -122,6 +124,26 @@ def _other_device_min(local: jnp.ndarray, axis: str) -> jnp.ndarray:
         term = jnp.where(me == i, jnp.full_like(local, jnp.inf), gathered[i])
         out = jnp.minimum(out, term)
     return out
+
+
+def _other_device_min_and_product(local_min: jnp.ndarray,
+                                  local_sgn: jnp.ndarray,
+                                  axis: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(min, +-1 product) over every *other* graph-shard, packed so the
+    layered schedule pays ONE all_gather per layer rather than two."""
+    gathered = jax.lax.all_gather(jnp.stack([local_min, local_sgn]), axis)
+    g = gathered.shape[0]
+    me = jax.lax.axis_index(axis)
+    omin = jnp.full_like(local_min, jnp.inf)
+    osgn = jnp.ones_like(local_sgn)
+    for i in range(g):
+        is_me = me == i
+        omin = jnp.minimum(
+            omin, jnp.where(is_me, jnp.full_like(local_min, jnp.inf),
+                            gathered[i, 0]))
+        osgn = osgn * jnp.where(is_me, jnp.ones_like(local_sgn),
+                                gathered[i, 1])
+    return omin, osgn
 
 
 def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
@@ -300,13 +322,137 @@ def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     return v_final, n_final
 
 
+def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
+                     prior: jnp.ndarray, to_var: jnp.ndarray,
+                     to_chk: jnp.ndarray, cfg: BPConfig):
+    """Per-device LAYERED normalized min-sum over the local Lc block-columns
+    (serial block-row schedule, decoder/layered.py rules); runs inside
+    shard_map.
+
+    Layer ``b``'s check update needs the leave-one-out (min, sign) over all L
+    block-columns, so each layer pays one *packed* all_gather of its per-check
+    (min, sign) partials — B collectives per sweep vs the flooding paths' one,
+    but each is a factor B smaller, so total bytes per sweep are identical and
+    only collective *latency* grows.  Both cross-shard reductions (minimum and
+    +-1 sign product) are exact under any association, so like the flooding
+    min-sum this decoder is bit-identical to the single-device
+    layered_min_sum_run (asserted by tests/test_graph_sharded.py).
+
+    State: ``q`` posteriors (Lc*P, bt) var-indexed; ``r`` check->var messages
+    (B*Lc*P, bt) layer-major so each layer's update is one contiguous slice.
+    Returns (q_final, iters).
+    """
+    B, Pc = graph.B, graph.P
+    bt = syndrome.shape[-1]
+    syn_sign = 1.0 - 2.0 * syndrome.astype(jnp.float32)      # (B*P, bt)
+    prior = jnp.asarray(prior, dtype=jnp.float32)
+    prior_llr = jnp.log1p(-prior) - jnp.log(prior)
+    q0 = jnp.broadcast_to(prior_llr, (Lc * Pc, bt)).astype(jnp.float32) \
+        + 0.0 * syndrome[:1].astype(jnp.float32)
+    q0 = jax.lax.pcast(q0, (GRAPH_AXIS,), to="varying")
+    r0 = jnp.zeros((B * Lc * Pc, bt), jnp.float32) + 0.0 * q0[:1]
+    done0 = jnp.any(syndrome < 0, axis=0)
+
+    def layer_stack(mats, b):
+        # roll stacks are (Lc*B, P, P) in (l, b) order -> layer b's (Lc, P, P)
+        return mats[b::B]
+
+    def sweep(q, r):
+        """One full iteration: serial pass over the B block-row layers."""
+        for b in range(B):
+            sgn_b = syn_sign[b * Pc:(b + 1) * Pc]            # (P, bt)
+            tc = _batched_roll(layer_stack(to_chk, b), q.reshape(Lc, Pc, bt))
+            r_b = jax.lax.slice_in_dim(
+                r, b * Lc * Pc, (b + 1) * Lc * Pc, axis=0).reshape(Lc, Pc, bt)
+            t = tc - r_b                                      # leave-out own msg
+            mags = [jnp.abs(t[i]) for i in range(Lc)]
+            sgns = [jnp.where(t[i] < 0, -1.0, 1.0) for i in range(Lc)]
+            big = jnp.full_like(mags[0], jnp.inf)
+            ones = jnp.ones_like(sgns[0])
+            pre_m, pre_s = [big] * Lc, [ones] * Lc
+            for i in range(1, Lc):
+                pre_m[i] = jnp.minimum(pre_m[i - 1], mags[i - 1])
+                pre_s[i] = pre_s[i - 1] * sgns[i - 1]
+            suf_m, suf_s = [big] * Lc, [ones] * Lc
+            for i in range(Lc - 2, -1, -1):
+                suf_m[i] = jnp.minimum(suf_m[i + 1], mags[i + 1])
+                suf_s[i] = suf_s[i + 1] * sgns[i + 1]
+            local_min = jnp.minimum(pre_m[-1], mags[-1])
+            local_sgn = pre_s[-1] * sgns[-1]
+            other_min, other_sgn = _other_device_min_and_product(
+                local_min, local_sgn, GRAPH_AXIS)
+            q_blocks, r_blocks = [], []
+            for i in range(Lc):
+                loo_min = jnp.minimum(jnp.minimum(pre_m[i], suf_m[i]),
+                                      other_min)
+                loo_sgn = pre_s[i] * suf_s[i] * other_sgn
+                r_new = cfg.min_sum_alpha * sgn_b * loo_sgn * loo_min
+                r_blocks.append(r_new)
+                q_blocks.append(t[i] + r_new)
+            q = _batched_roll(layer_stack(to_var, b),
+                              jnp.stack(q_blocks)).reshape(Lc * Pc, bt)
+            r = jnp.concatenate([
+                jax.lax.slice_in_dim(r, 0, b * Lc * Pc, axis=0),
+                jnp.stack(r_blocks).reshape(Lc * Pc, bt),
+                jax.lax.slice_in_dim(r, (b + 1) * Lc * Pc, B * Lc * Pc,
+                                     axis=0),
+            ], axis=0)
+        return q, r
+
+    def satisfied(q):
+        """Layered convergence: the hard decision of q satisfies the input
+        syndrome.  Local per-block-row sign-product parity, combined across
+        shards as one psum of parity BITS (mod 2) — the cross-shard image of
+        decoder/layered.syndrome_satisfied."""
+        d_sign = jnp.where(q <= 0.0, -1.0, 1.0).reshape(Lc, Pc, bt)
+        rows = []
+        for b in range(B):
+            blk = _batched_roll(layer_stack(to_chk, b), d_sign)  # (Lc, P, bt)
+            parity = blk[0]
+            for i in range(1, Lc):
+                parity = parity * blk[i]
+            rows.append(parity)
+        bits = (jnp.stack(rows) < 0).astype(jnp.int32)        # (B, P, bt)
+        total = jax.lax.psum(bits, GRAPH_AXIS)
+        gsign = 1.0 - 2.0 * (total % 2).astype(jnp.float32)
+        return jnp.all(gsign == syn_sign.reshape(B, Pc, bt), axis=(0, 1))
+
+    ce = cfg.layered_check_every
+
+    def cond(state):
+        n, _, _, done = state
+        return (n < cfg.max_iters) & ~jnp.all(done)
+
+    def body(state):
+        n, q, r, done = state
+        q_new, r_new = sweep(q, r)
+        q_new = jnp.where(done[None, :], q, q_new)
+        r_new = jnp.where(done[None, :], r, r_new)
+        check_now = (n % ce) == (ce - 1)
+        conv = check_now & satisfied(q_new)
+        return n + 1, q_new, r_new, done | conv
+
+    n_final, q_final, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), q0, r0, done0))
+    return q_final, n_final
+
+
 def _decode_one_graph_sharded(graph, Lc, syndrome, prior, to_var, to_chk, cfg):
     """Local decisions + flags for one graph.  Returns
     (decisions (Lc*P, bt) var-order, conv_fail (bt,), syn_fail (bt,), iters)."""
     B, Pc = graph.B, graph.P
     bt = syndrome.shape[-1]
     NB = Lc * B
-    if cfg.algorithm == "min-sum":
+    if cfg.algorithm == "layered-min-sum":
+        q, iters = _sharded_layered(graph, Lc, syndrome, prior, to_var,
+                                    to_chk, cfg)
+        # layered maintains posteriors natively: hard decision is q <= 0;
+        # conv_fail is derived from the common re-encode below (layered
+        # "failed to converge" === hard decision violates the syndrome,
+        # matching decoder/decode.py)
+        decisions = (q <= 0.0).reshape(Lc, Pc, bt)
+        conv_fail = None
+    elif cfg.algorithm == "min-sum":
         from qec_ldpc_tpu.decoder.min_sum import np_log_band
 
         v, iters = _sharded_min_sum(graph, Lc, syndrome, prior, to_var,
@@ -335,6 +481,8 @@ def _decode_one_graph_sharded(graph, Lc, syndrome, prior, to_var, to_chk, cfg):
     total = jax.lax.psum(partial, GRAPH_AXIS)
     s_hat = jnp.mod(total.astype(jnp.int32), 2).reshape(B * Pc, bt)
     syn_fail = jnp.any(s_hat != syndrome, axis=0)
+    if conv_fail is None:  # layered: convergence failure == syndrome failure
+        conv_fail = syn_fail
     return decisions.reshape(Lc * Pc, bt).astype(jnp.int8), conv_fail, syn_fail, iters
 
 
@@ -354,13 +502,8 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
     Lc = L // G
     xv, xc = _roll_operands(graphs.x)
     zv, zc = _roll_operands(graphs.z)
-    if cfg.algorithm not in ("sum-product", "min-sum"):
-        # the layered schedule serializes over block-ROWS, so block-column
-        # sharding would need one collective per layer per sweep; use it
-        # data-parallel (parallel/montecarlo.py) instead
-        raise NotImplementedError(
-            "graph-sharded decode implements sum-product and min-sum; "
-            f"got {cfg.algorithm!r}")
+    if cfg.algorithm not in ("sum-product", "min-sum", "layered-min-sum"):
+        raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
 
     def shard_fn(sx, sz, p, xv, xc, zv, zc):
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)

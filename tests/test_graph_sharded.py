@@ -117,8 +117,43 @@ def test_min_sum_weight_one_corrected_on_full_mesh(small_code, small_graphs):
     assert (np.asarray(codes) == 0).all()
 
 
-def test_layered_not_graph_shardable(small_code, small_graphs):
+@pytest.mark.parametrize("num_data,num_graph", [(1, 2), (2, 3)])
+def test_layered_bit_exact_vs_single_device(small_code, small_graphs, rng,
+                                            num_data, num_graph):
+    """Layered min-sum's cross-shard reductions (min + sign product) are
+    exact under any association, so the graph-sharded layered decode is
+    bit-identical to the single-device layered path."""
+    code, graphs = small_code, small_graphs
+    mesh = make_mesh(num_data=num_data, num_graph=num_graph)
+    cfg = BPConfig(max_iters=15, algorithm="layered-min-sum")
+    decode = make_graph_sharded_decoder(mesh, graphs, cfg)
+
+    batch = 4 * num_data
+    sx, sz = _random_syndromes(code, graphs, rng, batch)
+    dx, dz, codes, _ = decode(sx, sz, 0.05)
+    ref = decode_batch(graphs, sx, sz, 0.05, cfg)
+    assert np.array_equal(np.asarray(dx), np.asarray(ref.decisions_x))
+    assert np.array_equal(np.asarray(dz), np.asarray(ref.decisions_z))
+    assert np.array_equal(np.asarray(codes), np.asarray(ref.error_code))
+
+
+def test_layered_weight_one_corrected_on_full_mesh(small_code, small_graphs):
+    code, graphs = small_code, small_graphs
+    mesh = make_mesh(num_data=4, num_graph=2)
+    decode = make_graph_sharded_decoder(
+        mesh, graphs, BPConfig(max_iters=50, algorithm="layered-min-sum"))
+    batch = 16
+    xe, ze = sample_weight_w_errors(jax.random.PRNGKey(17), code.n, 1, batch)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    dx, dz, codes, _ = decode(sx, sz, 0.02)
+    assert np.array_equal(np.asarray(dx), np.asarray(xe))
+    assert np.array_equal(np.asarray(dz), np.asarray(ze))
+    assert (np.asarray(codes) == 0).all()
+
+
+def test_unknown_algorithm_rejected(small_graphs):
     mesh = make_mesh(num_data=1, num_graph=2)
-    with pytest.raises(NotImplementedError, match="layered"):
+    with pytest.raises(ValueError, match="unknown algorithm"):
         make_graph_sharded_decoder(
-            mesh, small_graphs, BPConfig(algorithm="layered-min-sum"))
+            mesh, small_graphs, BPConfig(algorithm="bogus"))
