@@ -98,7 +98,31 @@ def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
     return None
 
 
+def _lane_sort(syndrome: jnp.ndarray):
+    """(perm, inv): batch-lane permutation grouping lanes by syndrome weight.
+
+    The fused kernels early-exit per batch tile when ALL of a tile's lanes
+    have converged, so one slow lane holds its whole tile at the iteration
+    cap.  Syndrome weight is a strong (and free) predictor of BP convergence
+    time; sorting by it clusters slow lanes into few tiles so the rest exit
+    early.  Per-lane decode trajectories are independent of batch position,
+    so permute-decode-invert is bit-identical to decoding in place — only the
+    executed-work accounting changes (and shrinks)."""
+    weight = jnp.sum(syndrome, axis=0)
+    perm = jnp.argsort(weight)
+    inv = jnp.argsort(perm)
+    return perm, inv
+
+
 def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
+    # sorted-lane view fed to the fused kernels; outputs are un-permuted
+    # immediately after each kernel call, so everything downstream (hard
+    # decision, convergence flags, re-encode vs `syndrome`) sees the
+    # original lane order
+    syn_k, inv = syndrome, None
+    if cfg.kernel == "pallas" and cfg.kernel_sort_lanes:
+        perm, inv = _lane_sort(syndrome)
+        syn_k = syndrome[:, perm]
     if cfg.algorithm == "layered-min-sum":
         from qec_ldpc_tpu.decoder.layered import layered_min_sum_run
 
@@ -106,12 +130,14 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
             from qec_ldpc_tpu.kernels.layered_pallas import layered_run_pallas
 
             q, per_col_iters = layered_run_pallas(
-                graph, syndrome, prior,
+                graph, syn_k, prior,
                 max_iters=cfg.max_iters, check_every=cfg.layered_check_every,
                 alpha=cfg.min_sum_alpha,
                 tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
                 interpret=(jax.default_backend() == "cpu"),
             )
+            if inv is not None:
+                q = q[:, inv]
             iters = jnp.max(per_col_iters)
             iter_samples = jnp.sum(per_col_iters)
         else:
@@ -133,12 +159,14 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
             from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas
 
             v, per_col_iters = min_sum_run_pallas(
-                graph, syndrome, prior,
+                graph, syn_k, prior,
                 max_iters=cfg.max_iters, check_every=cfg.check_every,
                 conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
                 tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
                 interpret=(jax.default_backend() == "cpu"),
             )
+            if inv is not None:
+                v = v[:, inv]
             iters = jnp.max(per_col_iters)
             iter_samples = jnp.sum(per_col_iters)
         else:
@@ -159,7 +187,7 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
             from qec_ldpc_tpu.kernels.bp_pallas import bp_run_pallas
 
             v, per_col_iters = bp_run_pallas(
-                graph, syndrome, prior,
+                graph, syn_k, prior,
                 max_iters=cfg.max_iters, check_every=cfg.check_every,
                 conv_low=cfg.conv_low, conv_high=cfg.conv_high,
                 tile_batch=min(cfg.kernel_tile_batch, syndrome.shape[-1]),
@@ -167,6 +195,8 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
                 rolls=rolls,
                 roll_impl=cfg.kernel_roll_impl,
             )
+            if inv is not None:
+                v = v[:, inv]
             iters = jnp.max(per_col_iters)
             iter_samples = jnp.sum(per_col_iters)
         else:

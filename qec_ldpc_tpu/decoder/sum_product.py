@@ -67,6 +67,14 @@ class BPConfig:
     #: MXU-free, fastest) or "mxu" (HIGHEST-precision permutation matmuls,
     #: kept for cross-checking; needs the roll_operand runtime arg)
     kernel_roll_impl: str = "shift"
+    #: sort batch lanes by syndrome weight before the fused kernel and invert
+    #: the permutation afterwards.  Per-lane BP trajectories are independent,
+    #: so results are BIT-IDENTICAL; but each kernel batch tile early-exits
+    #: when its slowest lane converges, and syndrome weight predicts
+    #: convergence time — grouping similar lanes lets light tiles exit early
+    #: instead of every tile waiting on a scattered heavy lane.  Only the
+    #: executed-iteration counts (the honest work measure) change.
+    kernel_sort_lanes: bool = True
 
 
 def _loo_products(terms: list[jnp.ndarray]) -> list[jnp.ndarray]:

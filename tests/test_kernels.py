@@ -148,3 +148,38 @@ def test_decode_batch_min_sum_kernel_option(small_code, small_graphs):
                           np.asarray(res_p.decisions_z))
     assert np.array_equal(np.asarray(res_x.error_code),
                           np.asarray(res_p.error_code))
+
+
+# ---------------------------------------------------------------------------
+# Syndrome-weight lane sorting (decode._lane_sort): bit-identical results
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("algorithm", ["sum-product", "min-sum",
+                                       "layered-min-sum"])
+def test_lane_sorting_bit_identical(small_code, small_graphs, algorithm):
+    """kernel_sort_lanes permutes lanes into the kernel and un-permutes its
+    outputs: every per-lane result (decisions, error codes) must be
+    BIT-IDENTICAL to the unsorted kernel decode — only executed-iteration
+    accounting may differ."""
+    code, graphs = small_code, small_graphs
+    n, batch = code.n, 32
+    # mixed weights so lanes actually get reordered
+    xe1, ze1 = sample_weight_w_errors(jax.random.PRNGKey(11), n, 1, batch // 2)
+    xe2, ze2 = sample_weight_w_errors(jax.random.PRNGKey(12), n, 5, batch // 2)
+    xe = jnp.concatenate([xe1, xe2], axis=-1)
+    ze = jnp.concatenate([ze1, ze2], axis=-1)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    base = dict(max_iters=30, algorithm=algorithm, kernel="pallas",
+                kernel_tile_batch=8)
+    res_u = decode_batch(graphs, sx, sz, 0.02,
+                         BPConfig(**base, kernel_sort_lanes=False))
+    res_s = decode_batch(graphs, sx, sz, 0.02,
+                         BPConfig(**base, kernel_sort_lanes=True))
+    assert np.array_equal(np.asarray(res_u.decisions_x),
+                          np.asarray(res_s.decisions_x))
+    assert np.array_equal(np.asarray(res_u.decisions_z),
+                          np.asarray(res_s.decisions_z))
+    assert np.array_equal(np.asarray(res_u.error_code),
+                          np.asarray(res_s.error_code))
