@@ -69,12 +69,16 @@ class BPConfig:
     kernel_roll_impl: str = "shift"
     #: sort batch lanes by syndrome weight before the fused kernel and invert
     #: the permutation afterwards.  Per-lane BP trajectories are independent,
-    #: so results are BIT-IDENTICAL; but each kernel batch tile early-exits
-    #: when its slowest lane converges, and syndrome weight predicts
-    #: convergence time — grouping similar lanes lets light tiles exit early
-    #: instead of every tile waiting on a scattered heavy lane.  Only the
-    #: executed-iteration counts (the honest work measure) change.
-    kernel_sort_lanes: bool = True
+    #: so results are BIT-IDENTICAL; the intent is that each kernel batch
+    #: tile early-exits when its slowest lane converges, so grouping
+    #: similar lanes could let light tiles exit earlier.  Measured on the
+    #: [[610,61]] workload (v5e, W in {15, 30, 40}, fixed-weight batches)
+    #: the executed-iteration counts barely move — tile exits are quantized
+    #: by the every-``check_every`` convergence test, which washes out the
+    #: ordering — while the argsort + two batch-axis gathers cost 5-15%
+    #: end to end.  Default OFF; kept selectable for workloads with widely
+    #: mixed per-lane convergence times.
+    kernel_sort_lanes: bool = False
 
 
 def _loo_products(terms: list[jnp.ndarray]) -> list[jnp.ndarray]:
