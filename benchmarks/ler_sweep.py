@@ -73,12 +73,16 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--steps-per-call", type=int, default=4)
     ap.add_argument("--seed", type=int, default=20260818)
+    ap.add_argument("--osd", type=int, default=-1, metavar="LAM",
+                    help="OSD post-processing of BP failures: -1 off, "
+                         "0 OSD-0, >0 combination-sweep depth (quality "
+                         "mode; host round-trip per chunk)")
     args = ap.parse_args()
 
     setup_jax_cache()
     from qec_ldpc_tpu.codes import construct_code
     from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
-    from qec_ldpc_tpu.parallel import run_monte_carlo
+    from qec_ldpc_tpu.parallel import run_monte_carlo, run_monte_carlo_osd
     from qec_ldpc_tpu.sampling import (
         C_CONV_X, C_CONV_Z, C_CORRECTED, C_LOGICAL, C_SYN_X, C_SYN_Z, C_TESTED,
     )
@@ -94,18 +98,28 @@ def main() -> int:
     group = args.batch * args.steps_per_call
     count = -(-args.count // group) * group
     for w in (int(x) for x in args.weights.split(",")):
-        run_monte_carlo(graphs, w, group, args.p, cfg, seed=args.seed + w,
-                        batch_size=args.batch,
-                        steps_per_call=args.steps_per_call)  # warm-up
-        t0 = time.perf_counter()
-        counters, bp_iters = run_monte_carlo(
-            graphs, w, count, args.p, cfg, seed=args.seed + w,
-            batch_size=args.batch, steps_per_call=args.steps_per_call)
+        if args.osd >= 0:
+            run_monte_carlo_osd(graphs, w, args.batch, args.p, cfg,
+                                seed=args.seed + w, batch_size=args.batch,
+                                lam=args.osd)  # warm-up
+            t0 = time.perf_counter()
+            counters, bp_iters = run_monte_carlo_osd(
+                graphs, w, count, args.p, cfg, seed=args.seed + w,
+                batch_size=args.batch, lam=args.osd)
+        else:
+            run_monte_carlo(graphs, w, group, args.p, cfg, seed=args.seed + w,
+                            batch_size=args.batch,
+                            steps_per_call=args.steps_per_call)  # warm-up
+            t0 = time.perf_counter()
+            counters, bp_iters = run_monte_carlo(
+                graphs, w, count, args.p, cfg, seed=args.seed + w,
+                batch_size=args.batch, steps_per_call=args.steps_per_call)
         secs = time.perf_counter() - t0
         tested = int(counters[C_TESTED])
         rec = {
             "metric": "ler_sweep",
             "algorithm": args.algorithm,
+            "osd": args.osd,
             "weight": w,
             "p": args.p,
             "max_iters": args.iters,

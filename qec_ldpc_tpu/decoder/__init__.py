@@ -12,10 +12,13 @@ from qec_ldpc_tpu.decoder.decode import (
 from qec_ldpc_tpu.decoder.layered import layered_min_sum_run
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+from qec_ldpc_tpu.decoder.osd import CSSPostprocessor, OSDecoder
 from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_update
 
 __all__ = [
     "BPConfig",
+    "OSDecoder",
+    "CSSPostprocessor",
     "min_sum_run",
     "layered_min_sum_run",
     "CirculantGraph",

@@ -58,7 +58,8 @@ class CodeGraphs:
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=("decisions_x", "decisions_z", "error_code", "iters_x",
-                      "iters_z", "iter_samples_x", "iter_samples_z"),
+                      "iters_z", "iter_samples_x", "iter_samples_z",
+                      "soft_x", "soft_z"),
          meta_fields=())
 @dataclasses.dataclass
 class DecodeResult:
@@ -75,6 +76,10 @@ class DecodeResult:
     #: Pallas tiles exit independently, so this can be < iters * batch)
     iter_samples_x: jnp.ndarray
     iter_samples_z: jnp.ndarray
+    #: (num_vars, batch) float32 posterior-LLR proxies (smaller = more likely
+    #: in error), only with cfg.return_soft — consumed by OSD (decoder/osd.py)
+    soft_x: jnp.ndarray | None = None
+    soft_z: jnp.ndarray | None = None
 
 
 def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
@@ -153,7 +158,8 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
         decisions = (q <= 0.0).astype(jnp.int8)
         s_hat = graph.syndrome(decisions.astype(jnp.int32))
         syn_fail = jnp.any(s_hat != syndrome, axis=0)
-        return decisions, syn_fail, syn_fail, iters, iter_samples
+        soft = q if cfg.return_soft else None  # layered q IS the posterior
+        return decisions, syn_fail, syn_fail, iters, iter_samples, soft
     if cfg.algorithm == "min-sum":
         if cfg.kernel == "pallas":
             from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas
@@ -182,6 +188,10 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
         vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
         decisions = jnp.any(vv <= 0.0, axis=0).astype(jnp.int8)
         conv_fail = _not_converged_mask_llr(v, np_log_band(cfg.conv_low))
+        # sum of the B outgoing edge LLRs: an affine image of the posterior
+        # LLR within a lane (each edge = prior + leave-one-out sum, so the
+        # sum = B*prior + (B-1)*(posterior - prior)) — exact ranking for OSD
+        soft = jnp.sum(vv, axis=0) if cfg.return_soft else None
     else:
         if cfg.kernel == "pallas":
             from qec_ldpc_tpu.kernels.bp_pallas import bp_run_pallas
@@ -210,10 +220,17 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
         vv = graph.vn_view(graph.to_var(v))  # (B, num_vars, batch)
         decisions = jnp.any(vv >= cfg.hard_threshold, axis=0).astype(jnp.int8)
         conv_fail = _not_converged_mask(v, cfg.conv_low, cfg.conv_high)  # (batch,)
+        if cfg.return_soft:
+            # probability-domain messages -> summed edge LLRs (same affine-
+            # image ranking argument as the min-sum path)
+            vc = jnp.clip(vv, 1e-12, 1.0 - 1e-7)
+            soft = jnp.sum(jnp.log1p(-vc) - jnp.log(vc), axis=0)
+        else:
+            soft = None
     # re-encode and compare syndromes (DecoderCPU.h:380-384)
     s_hat = graph.syndrome(decisions.astype(jnp.int32))
     syn_fail = jnp.any(s_hat != syndrome, axis=0)
-    return decisions, conv_fail, syn_fail, iters, iter_samples
+    return decisions, conv_fail, syn_fail, iters, iter_samples, soft
 
 
 @partial(jax.jit, static_argnames=("graphs", "cfg"))
@@ -228,10 +245,10 @@ def decode_batch(
     if consts is None:
         consts = kernel_consts(graphs, cfg)
     prior = jnp.float32(cfg.prior_factor) * jnp.asarray(error_probability, jnp.float32)
-    dx, cfx, sfx, itx, isx = _decode_one_graph(
+    dx, cfx, sfx, itx, isx, softx = _decode_one_graph(
         graphs.x, syndrome_x, prior, cfg,
         rolls=None if consts is None else consts["x"])
-    dz, cfz, sfz, itz, isz = _decode_one_graph(
+    dz, cfz, sfz, itz, isz, softz = _decode_one_graph(
         graphs.z, syndrome_z, prior, cfg,
         rolls=None if consts is None else consts["z"])
     code = (
@@ -242,7 +259,8 @@ def decode_batch(
     )
     return DecodeResult(decisions_x=dx, decisions_z=dz, error_code=code,
                         iters_x=itx, iters_z=itz,
-                        iter_samples_x=isx, iter_samples_z=isz)
+                        iter_samples_x=isx, iter_samples_z=isz,
+                        soft_x=softx, soft_z=softz)
 
 
 def syndromes_from_errors(

@@ -1,0 +1,184 @@
+"""Ordered-statistics decoding (OSD) post-processing for BP failures.
+
+A capability the reference lacks entirely: when BP's hard decision violates
+the syndrome (the reference just counts a SYNDROME_FAIL, ``DecoderCPU.h:
+380-384,480-489``), OSD uses BP's soft output to rank variables by how likely
+they are to be in error, greedily selects the first linearly independent
+parity-check columns in that order, and solves ``H_S e_S = s`` exactly over
+GF(2) — guaranteeing a syndrome-satisfying correction for every decodable
+syndrome.  The combination sweep (``lam > 0``) additionally tries flipping
+each single and pair of the first ``lam`` non-pivot columns, keeping the
+minimum-weight solution (BP+OSD in the quantum-LDPC literature).
+
+Division of labor (the TPU-native shape of this subsystem): BP runs on TPU
+for the full batch; OSD runs on the host — it is inherently sequential
+per-lane GF(2) elimination, exactly the kind of bit-twiddling a scalar core
+does best — but only for the (rare) failed lanes, batched through the native
+C++ solver (``native/gf2.cpp::qec_osd_batch``, OpenMP over lanes, word-wide
+XOR).  A pure-NumPy fallback keeps the feature available without a compiler.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from qec_ldpc_tpu import native
+from qec_ldpc_tpu.decoder.decode import (
+    SYNDROME_FAIL_X,
+    SYNDROME_FAIL_Z,
+    CodeGraphs,
+    DecodeResult,
+)
+
+
+def _osd_one_np(cols_bits: np.ndarray, syndrome: np.ndarray,
+                order: np.ndarray, lam: int) -> tuple[np.ndarray, bool]:
+    """Single-lane reference implementation (columns as (n, m) bit rows).
+
+    Mirrors the native solver exactly: incremental RREF basis over reduced
+    columns with coefficient tracking, OSD-0 solve, then a weight<=2
+    combination sweep over the first ``lam`` non-pivot columns.
+    """
+    n, m = cols_bits.shape
+    basis: list[np.ndarray] = []      # reduced columns, unique pivots
+    coef: list[np.ndarray] = []       # expansion over accepted columns
+    pivot_of: list[int] = []
+    accepted: list[int] = []
+    np_coef: list[np.ndarray] = []
+    np_col: list[int] = []
+    for c in order:
+        if len(basis) >= m and len(np_coef) >= lam:
+            break
+        v = cols_bits[c].copy()
+        vc = np.zeros(m, dtype=np.uint8)
+        for j, p in enumerate(pivot_of):
+            if v[p]:
+                v ^= basis[j]
+                vc ^= coef[j]
+        nz = np.nonzero(v)[0]
+        if nz.size == 0:
+            if len(np_coef) < lam:
+                np_coef.append(vc)
+                np_col.append(int(c))
+            continue
+        p = int(nz[0])
+        vc[len(basis)] ^= 1
+        for j in range(len(basis)):
+            if basis[j][p]:
+                basis[j] = basis[j] ^ v
+                coef[j] = coef[j] ^ vc
+        basis.append(v)
+        coef.append(vc)
+        pivot_of.append(p)
+        accepted.append(int(c))
+    s = np.asarray(syndrome, dtype=np.uint8).copy()
+    sc = np.zeros(m, dtype=np.uint8)
+    for j, p in enumerate(pivot_of):
+        if s[p]:
+            s ^= basis[j]
+            sc ^= coef[j]
+    e = np.zeros(n, dtype=np.uint8)
+    if s.any():
+        return e, False
+    best_w, best = int(sc.sum()), (None, None)
+    for i in range(len(np_coef)):
+        w1 = 1 + int((sc ^ np_coef[i]).sum())
+        if w1 < best_w:
+            best_w, best = w1, (i, None)
+        for j in range(i + 1, len(np_coef)):
+            w2 = 2 + int((sc ^ np_coef[i] ^ np_coef[j]).sum())
+            if w2 < best_w:
+                best_w, best = w2, (i, j)
+    for idx in best:
+        if idx is not None:
+            sc = sc ^ np_coef[idx]
+            e[np_col[idx]] = 1
+    for j in range(len(basis)):
+        if sc[j]:
+            e[accepted[j]] = 1
+    return e, True
+
+
+class OSDecoder:
+    """Batched OSD solver for one parity-check matrix.
+
+    Precomputes the bit-packed column form of H once; ``decode`` then solves
+    any number of (syndrome, reliability) lanes, via the native C++ kernel
+    when available.
+    """
+
+    def __init__(self, h_dense: np.ndarray, lam: int = 0):
+        self.h = np.ascontiguousarray(np.asarray(h_dense, dtype=np.uint8) % 2)
+        self.m, self.n = self.h.shape
+        self.lam = int(lam)
+        # (n, w) packed columns over the m check bits
+        self.packed_cols, self.words = native.pack_rows(self.h.T)
+
+    def decode(self, syndromes: np.ndarray, reliability: np.ndarray
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """syndromes (m, B) 0/1; reliability (n, B): per-variable posterior
+        LLR proxy from BP (smaller = more likely in error; only the per-lane
+        ranking matters).  Returns ((n, B) uint8 corrections, (B,) bool
+        solved)."""
+        syndromes = np.asarray(syndromes)
+        reliability = np.asarray(reliability)
+        batch = syndromes.shape[1]
+        if batch == 0:
+            return (np.zeros((self.n, 0), dtype=np.uint8),
+                    np.zeros(0, dtype=bool))
+        order = np.argsort(reliability, axis=0, kind="stable").T  # (B, n)
+        packed_syn, _ = native.pack_rows(syndromes.T)
+        out = native.osd_batch(self.packed_cols, self.m,
+                               order.astype(np.int32), packed_syn, self.lam)
+        if out is not None:
+            e, ok = out
+            return e.T, ok
+        cols_bits = np.ascontiguousarray(self.h.T)  # (n, m)
+        e = np.zeros((batch, self.n), dtype=np.uint8)
+        ok = np.zeros(batch, dtype=bool)
+        for b in range(batch):
+            e[b], ok[b] = _osd_one_np(cols_bits, syndromes[:, b],
+                                      order[b], self.lam)
+        return e.T, ok
+
+
+class CSSPostprocessor:
+    """OSD post-processing pair for a CSS code (X and Z graphs)."""
+
+    def __init__(self, graphs: CodeGraphs, lam: int = 0):
+        self.graphs = graphs
+        self.x = OSDecoder(graphs.code.pcm_x, lam=lam)
+        self.z = OSDecoder(graphs.code.pcm_z, lam=lam)
+
+    def apply(
+        self,
+        syndrome_x: np.ndarray,  # (J*P, batch)
+        syndrome_z: np.ndarray,  # (K*P, batch)
+        res: DecodeResult,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Replace the decisions of syndrome-failed lanes with OSD solutions.
+
+        Requires ``res.soft_x/soft_z`` (decode with ``return_soft=True``).
+        Returns host arrays (decisions_x, decisions_z, error_code) with
+        SYNDROME_FAIL bits cleared on every lane OSD solved; convergence-fail
+        bits are untouched (they keep the reference's orthogonal meaning).
+        """
+        assert res.soft_x is not None and res.soft_z is not None, (
+            "decode with BPConfig(return_soft=True) before OSD")
+        ec = np.asarray(res.error_code).copy()
+        dx = np.asarray(res.decisions_x).copy()
+        dz = np.asarray(res.decisions_z).copy()
+        for bit, dec, osd, syn, soft in (
+            (SYNDROME_FAIL_X, dx, self.x, syndrome_x, res.soft_x),
+            (SYNDROME_FAIL_Z, dz, self.z, syndrome_z, res.soft_z),
+        ):
+            failed = np.nonzero((ec & bit) != 0)[0]
+            if failed.size == 0:
+                continue
+            syn_f = np.asarray(syn)[:, failed]
+            soft_f = np.asarray(soft)[:, failed]
+            e, ok = osd.decode(syn_f, soft_f)
+            fixed = failed[ok]
+            dec[:, fixed] = e[:, ok].astype(dec.dtype)
+            ec[fixed] &= ~bit
+        return dx, dz, ec

@@ -79,6 +79,12 @@ class BPConfig:
     #: end to end.  Default OFF; kept selectable for workloads with widely
     #: mixed per-lane convergence times.
     kernel_sort_lanes: bool = False
+    #: also return per-variable soft outputs (posterior-LLR proxies,
+    #: (num_vars, batch) per graph) in DecodeResult.soft_x/soft_z — the
+    #: reliability ranking consumed by OSD post-processing (decoder/osd.py).
+    #: Within a lane the value is an affine function of the true posterior
+    #: LLR, so the per-lane ordering (all OSD uses) is exact.
+    return_soft: bool = False
 
 
 def _loo_products(terms: list[jnp.ndarray]) -> list[jnp.ndarray]:

@@ -29,7 +29,12 @@ from qec_ldpc_tpu.harness import debug
 from qec_ldpc_tpu.harness.config import RunConfig, format_result_filename, load_init_file
 from qec_ldpc_tpu.harness.journal import Journal
 from qec_ldpc_tpu.harness.stats import CodeStatistics
-from qec_ldpc_tpu.parallel import make_mesh, maybe_init_distributed, run_monte_carlo
+from qec_ldpc_tpu.parallel import (
+    make_mesh,
+    maybe_init_distributed,
+    run_monte_carlo,
+    run_monte_carlo_osd,
+)
 
 
 def _log(fh, msg: str) -> None:
@@ -71,13 +76,18 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
         for i, (w, p) in enumerate(cfg.sweep_points()):
             run_id = (f"{code}|COUNT={cfg.count}|MAX={cfg.max_iterations}"
                       f"|p={p:g}|seed={seed}")
+            if cfg.osd >= 0:
+                run_id += f"|osd={cfg.osd}"
             fname = format_result_filename(str(code), w, cfg.max_iterations, p)
             out_path = os.path.join(cfg.results_dir, fname)
             _log(log, out_path)
 
-            start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
-            if start_chunk:
-                _log(log, f"  resuming W={w} p={p:g} at chunk {start_chunk}")
+            if cfg.osd >= 0:  # OSD mode has no chunk-exact resume
+                start_chunk, init_counters, init_iters = 0, None, 0
+            else:
+                start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
+                if start_chunk:
+                    _log(log, f"  resuming W={w} p={p:g} at chunk {start_chunk}")
 
             def on_chunk(c, num_chunks, counters, iters, _w=w, _rid=run_id):
                 journal.append({
@@ -86,14 +96,23 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 })
 
             t0 = time.perf_counter()
-            counters, bp_iters = run_monte_carlo(
-                graphs, w, cfg.count, p, bp_cfg, seed + i,
-                batch_size=cfg.batch_size, mesh=mesh,
-                error_model=cfg.error_model,
-                progress=on_chunk, start_chunk=start_chunk,
-                init_counters=init_counters,
-                steps_per_call=cfg.steps_per_call,
-            )
+            if cfg.osd >= 0:
+                # OSD quality mode: host post-processing per chunk
+                # (no mesh scan / journal resume — chunks aren't pure-device)
+                counters, bp_iters = run_monte_carlo_osd(
+                    graphs, w, cfg.count, p, bp_cfg, seed + i,
+                    batch_size=cfg.batch_size, lam=cfg.osd,
+                    error_model=cfg.error_model, progress=on_chunk,
+                )
+            else:
+                counters, bp_iters = run_monte_carlo(
+                    graphs, w, cfg.count, p, bp_cfg, seed + i,
+                    batch_size=cfg.batch_size, mesh=mesh,
+                    error_model=cfg.error_model,
+                    progress=on_chunk, start_chunk=start_chunk,
+                    init_counters=init_counters,
+                    steps_per_call=cfg.steps_per_call,
+                )
             duration_us = int((time.perf_counter() - t0) * 1e6)
 
             stats = CodeStatistics.from_counters(

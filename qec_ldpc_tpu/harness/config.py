@@ -41,6 +41,10 @@ class RunConfig:
     #: Monte-Carlo chunks scanned on device per dispatch (amortizes runtime
     #: dispatch overhead; journal/resume granularity is one dispatch group)
     steps_per_call: int = 8
+    #: OSD post-processing of BP failures (decoder/osd.py): -1 = off,
+    #: 0 = OSD-0, >0 = combination sweep over that many non-pivot columns.
+    #: Quality mode — runs chunk-at-a-time with host round-trips.
+    osd: int = -1
 
     def sweep_points(self) -> list[tuple[int, float]]:
         """The (weight, p) grid this run covers: the reference's w..W sweep at

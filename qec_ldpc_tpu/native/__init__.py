@@ -28,12 +28,16 @@ HAVE_NATIVE = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (OSError, subprocess.SubprocessError):
-        return False
+    base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
+    # OpenMP parallelizes the batched OSD solver over lanes; fall back to a
+    # serial build where libgomp is unavailable (everything stays correct)
+    for cmd in (base[:1] + ["-fopenmp"] + base[1:], base):
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return False
 
 
 def _load():
@@ -66,6 +70,12 @@ def _load():
         lib.qec_parse_ints.restype = ctypes.c_long
         lib.qec_parse_ints.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_long), ctypes.c_long]
+        lib.qec_osd_batch.restype = ctypes.c_int
+        lib.qec_osd_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8)]
         _lib = lib
         HAVE_NATIVE = True
         return _lib
@@ -142,6 +152,37 @@ def parse_int_file(path: str, max_count: int) -> np.ndarray | None:
     if got < 0:
         raise FileNotFoundError(path)
     return out[:got]
+
+
+def osd_batch(
+    packed_cols: np.ndarray,   # (n, w) uint64 packed columns of H (m rows)
+    m: int,
+    order: np.ndarray,         # (batch, n) int32, most-likely-error first
+    packed_syn: np.ndarray,    # (batch, w) uint64 packed syndromes
+    lam: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Native batched OSD solve: returns ((batch, n) uint8 corrections,
+    (batch,) bool solved), or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, w = packed_cols.shape
+    batch = packed_syn.shape[0]
+    packed_cols = np.ascontiguousarray(packed_cols, dtype=np.uint64)
+    order = np.ascontiguousarray(order, dtype=np.int32)
+    packed_syn = np.ascontiguousarray(packed_syn, dtype=np.uint64)
+    assert order.shape == (batch, n), (order.shape, batch, n)
+    e_out = np.zeros((batch, n), dtype=np.uint8)
+    status = np.zeros(batch, dtype=np.uint8)
+    lib.qec_osd_batch(
+        packed_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        m, n, w,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        packed_syn.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        batch, lam,
+        e_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return e_out, status == 0
 
 
 def native_available() -> bool:

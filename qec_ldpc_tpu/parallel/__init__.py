@@ -10,7 +10,9 @@ from qec_ldpc_tpu.parallel.graph_sharded import make_graph_sharded_decoder
 from qec_ldpc_tpu.parallel.montecarlo import (
     make_sharded_chunk,
     mc_chunk,
+    mc_chunk_arrays,
     run_monte_carlo,
+    run_monte_carlo_osd,
 )
 
 __all__ = [
@@ -22,6 +24,8 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "mc_chunk",
+    "mc_chunk_arrays",
     "make_sharded_chunk",
     "run_monte_carlo",
+    "run_monte_carlo_osd",
 ]

@@ -138,6 +138,86 @@ def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     return jax.jit(mapped)
 
 
+@partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch",
+                                   "error_model"))
+def mc_chunk_arrays(graphs: CodeGraphs, key: jax.Array, weight: int,
+                    error_probability, cfg: BPConfig, batch: int,
+                    error_model: str = "weight", consts=None):
+    """Sample + decode one batch, returning the full per-lane arrays
+    (errors, syndromes, DecodeResult) instead of classified counters — the
+    device half of host post-processing paths (OSD)."""
+    n = graphs.code.n
+    if error_model == "weight":
+        xe, ze = sample_weight_w_errors(key, n, weight, batch)
+    elif error_model == "depolarizing":
+        xe, ze = sample_depolarizing_errors(key, n, error_probability, batch)
+    else:
+        raise ValueError(f"unknown error model {error_model!r}")
+    xe_i = xe.astype(jnp.int32)
+    ze_i = ze.astype(jnp.int32)
+    sx = graphs.x.syndrome(xe_i)
+    sz = graphs.z.syndrome(ze_i)
+    res = decode_batch(graphs, sx, sz, error_probability, cfg, consts=consts)
+    # int8 narrowing: these arrays round-trip to the host per chunk
+    return (xe.astype(jnp.int8), ze.astype(jnp.int8),
+            sx.astype(jnp.int8), sz.astype(jnp.int8), res)
+
+
+def run_monte_carlo_osd(
+    graphs: CodeGraphs,
+    weight: int,
+    count: int,
+    error_probability: float,
+    cfg: BPConfig,
+    seed: int,
+    batch_size: int = 1024,
+    lam: int = 0,
+    error_model: str = "weight",
+    progress: "callable | None" = None,
+):
+    """Monte-Carlo statistics with OSD post-processing of BP failures.
+
+    Same counter contract and per-chunk sample keys as
+    :func:`run_monte_carlo` (seed-for-seed identical error draws), but every
+    lane whose BP hard decision violates its syndrome is re-decoded with
+    ordered-statistics decoding on the host (decoder/osd.py) before
+    classification — syndrome-fail counters drop to (near) zero and the
+    corrected/logical split improves accordingly.  Classification runs on the
+    host (NumPy + native GF(2) matvec) since the spliced decisions live there
+    anyway.
+
+    This is the QUALITY mode: each chunk round-trips its arrays to the host,
+    so prefer :func:`run_monte_carlo` for pure-throughput runs where BP
+    failures are only counted, not repaired.
+    """
+    import dataclasses as _dc
+
+    from qec_ldpc_tpu.decoder.osd import CSSPostprocessor
+    from qec_ldpc_tpu.sampling.classify import classify_batch_np
+
+    cfg = _dc.replace(cfg, return_soft=True)
+    post = CSSPostprocessor(graphs, lam=lam)
+    consts = kernel_consts(graphs, cfg)
+    key = jax.random.PRNGKey(seed)
+    totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
+    total_iters = 0
+    num_chunks = -(-count // batch_size)
+    for c in range(num_chunks):
+        ck = jax.random.fold_in(key, np.uint32(c))
+        xe, ze, sx, sz, res = mc_chunk_arrays(
+            graphs, ck, weight, jnp.float32(error_probability), cfg,
+            batch_size, error_model, consts)
+        dx, dz, ec = post.apply(np.asarray(sx), np.asarray(sz), res)
+        counters = classify_batch_np(graphs.code.i_minus_p, np.asarray(xe),
+                                     np.asarray(ze), dx, dz, ec)
+        chunk_iters = int(res.iter_samples_x) + int(res.iter_samples_z)
+        totals += counters
+        total_iters += chunk_iters
+        if progress is not None:
+            progress(c, num_chunks, counters, chunk_iters)
+    return totals, total_iters
+
+
 def run_monte_carlo(
     graphs: CodeGraphs,
     weight: int,

@@ -10,6 +10,7 @@ from qec_ldpc_tpu.sampling.classify import (
     C_X_TESTED,
     C_Z_TESTED,
     classify_batch,
+    classify_batch_np,
     logical_error_mask,
 )
 from qec_ldpc_tpu.sampling.errors import (
@@ -21,6 +22,7 @@ __all__ = [
     "sample_weight_w_errors",
     "sample_depolarizing_errors",
     "classify_batch",
+    "classify_batch_np",
     "logical_error_mask",
     "NUM_COUNTERS",
     "C_TESTED", "C_X_TESTED", "C_Z_TESTED", "C_CORRECTED",

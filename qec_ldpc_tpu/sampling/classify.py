@@ -45,6 +45,52 @@ def logical_error_mask(i_minus_p: jnp.ndarray, residual_2n: jnp.ndarray) -> jnp.
     return jnp.any(odd, axis=0)
 
 
+def classify_batch_np(
+    i_minus_p,
+    x_errors,
+    z_errors,
+    x_decoded,
+    z_decoded,
+    error_code,
+):
+    """Host (NumPy) mirror of :func:`classify_batch` — identical counters.
+
+    Used by post-processing paths (OSD, decoder/osd.py) that splice
+    corrections on the host after the device decode; the logical test runs
+    through the native packed GF(2) matvec when available.
+    """
+    import numpy as np
+
+    from qec_ldpc_tpu import native
+
+    x_errors = np.asarray(x_errors)
+    z_errors = np.asarray(z_errors)
+    error_code = np.asarray(error_code)
+    batch = error_code.shape[0]
+    x_tested = (x_errors != 0).any(axis=0)
+    z_tested = (z_errors != 0).any(axis=0)
+    syn_x = (error_code & SYNDROME_FAIL_X) != 0
+    syn_z = (error_code & SYNDROME_FAIL_Z) != 0
+    conv_x = (error_code & CONVERGENCE_FAIL_X) != 0
+    conv_z = (error_code & CONVERGENCE_FAIL_Z) != 0
+    undetected = ~(syn_x | syn_z)
+    residual = np.concatenate(
+        [(x_errors + np.asarray(x_decoded)) % 2,
+         (z_errors + np.asarray(z_decoded)) % 2], axis=0).astype(np.uint8)
+    prod = native.gf2_matvec(np.asarray(i_minus_p), residual.T)
+    if prod is None:
+        prod = (np.asarray(i_minus_p).astype(np.int64)
+                @ residual.astype(np.int64)) % 2
+    logical = prod.astype(bool).any(axis=0)
+    logical_cnt = undetected & logical
+    corrected_cnt = undetected & ~logical
+    return np.array([
+        batch, x_tested.sum(), z_tested.sum(), corrected_cnt.sum(),
+        syn_x.sum(), syn_z.sum(), logical_cnt.sum(), conv_x.sum(),
+        conv_z.sum(),
+    ], dtype=np.int64)
+
+
 def classify_batch(
     i_minus_p: jnp.ndarray,
     x_errors: jnp.ndarray,      # (n, batch) true errors

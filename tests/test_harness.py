@@ -131,3 +131,21 @@ def test_run_sweep_end_to_end(tmp_path, small_code_file):
     stats2 = run_sweep(cfg)
     assert stats2[0].corrected == stats[0].corrected
     assert stats2[1].corrected == stats[1].corrected
+
+
+def test_run_sweep_osd_mode(tmp_path, small_code_file):
+    """osd=<lam> init extension routes through the OSD quality path: same
+    samples, zero syndrome failures, corrected count never drops."""
+    from qec_ldpc_tpu.harness.cli import run_sweep
+
+    common = (f"{small_code_file} 4 4 64 15 0.02 seed=5 batch_size=32 "
+              f"log_file={tmp_path}/log.txt use_mesh=false ")
+    init = tmp_path / "init.txt"
+    init.write_text(common + f"results_dir={tmp_path}/r_base\n")
+    base = run_sweep(load_init_file(str(init)))[0]
+    init.write_text(common + f"results_dir={tmp_path}/r_osd osd=4\n")
+    osd = run_sweep(load_init_file(str(init)))[0]
+    assert osd.num_errors_tested == base.num_errors_tested
+    assert osd.syndrome_errors_x == 0 and osd.syndrome_errors_z == 0
+    assert osd.corrected >= base.corrected
+    assert osd.corrected + osd.logical_errors == osd.num_errors_tested

@@ -1,0 +1,193 @@
+"""OSD post-processing: native/NumPy parity, solver invariants, CSS splice,
+and Monte-Carlo integration.
+
+The reference has no analog (BP failures are merely counted,
+``DecoderCPU.h:380-384,480-489``); these tests pin the framework-native
+BP+OSD subsystem (decoder/osd.py, native/gf2.cpp::qec_osd_batch).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qec_ldpc_tpu as q
+from qec_ldpc_tpu import native
+from qec_ldpc_tpu.decoder import BPConfig, CSSPostprocessor, OSDecoder
+from qec_ldpc_tpu.decoder.decode import (
+    SYNDROME_FAIL_X,
+    SYNDROME_FAIL_Z,
+    CodeGraphs,
+    decode_batch,
+)
+from qec_ldpc_tpu.decoder.osd import _osd_one_np
+from qec_ldpc_tpu.parallel.montecarlo import run_monte_carlo, run_monte_carlo_osd
+from qec_ldpc_tpu.sampling import sample_weight_w_errors
+from qec_ldpc_tpu.sampling.classify import (
+    C_CORRECTED,
+    C_CONV_X,
+    C_CONV_Z,
+    C_LOGICAL,
+    C_SYN_X,
+    C_SYN_Z,
+    C_TESTED,
+)
+
+
+@pytest.fixture(scope="module")
+def small_graphs():
+    return CodeGraphs.build(q.construct_code(3, 3, 6, 7, 2, 3))
+
+
+def _random_instance(rng, m, n, batch, p_col=0.25, p_err=0.1):
+    H = (rng.random((m, n)) < p_col).astype(np.uint8)
+    e_true = (rng.random((n, batch)) < p_err).astype(np.uint8)
+    s = H @ e_true % 2
+    rel = rng.standard_normal((n, batch)).astype(np.float32)
+    return H, s, rel
+
+
+@pytest.mark.parametrize("lam", [0, 8])
+def test_osd_satisfies_syndrome_random(lam):
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        m = int(rng.integers(5, 40))
+        n = m + int(rng.integers(5, 40))
+        H, s, rel = _random_instance(rng, m, n, batch=13)
+        e, ok = OSDecoder(H, lam=lam).decode(s, rel)
+        # syndromes from real errors are always in the column space
+        assert ok.all()
+        assert np.array_equal(H @ e % 2, s)
+
+
+@pytest.mark.parametrize("lam", [0, 6])
+def test_osd_native_matches_numpy(lam):
+    if not native.native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    for _ in range(10):
+        m = int(rng.integers(5, 30))
+        n = m + int(rng.integers(5, 30))
+        H, s, rel = _random_instance(rng, m, n, batch=7)
+        e, ok = OSDecoder(H, lam=lam).decode(s, rel)
+        order = np.argsort(rel, axis=0, kind="stable").T
+        cols_bits = np.ascontiguousarray(H.T)
+        for b in range(s.shape[1]):
+            e_np, ok_np = _osd_one_np(cols_bits, s[:, b], order[b], lam)
+            assert bool(ok[b]) == ok_np
+            assert np.array_equal(e[:, b], e_np)
+
+
+def test_osd_detects_unsolvable():
+    rng = np.random.default_rng(5)
+    H = np.zeros((4, 8), dtype=np.uint8)
+    H[:3] = (rng.random((3, 8)) < 0.5).astype(np.uint8)
+    s = np.zeros((4, 2), dtype=np.uint8)
+    s[3, 1] = 1  # lane 1's syndrome hits the all-zero check row
+    e, ok = OSDecoder(H, lam=2).decode(
+        s, rng.standard_normal((8, 2)).astype(np.float32))
+    assert ok[0] and not ok[1]
+    assert not e[:, 1].any()
+
+
+def test_combination_sweep_never_increases_weight():
+    rng = np.random.default_rng(17)
+    for _ in range(10):
+        H, s, rel = _random_instance(rng, 20, 40, batch=5, p_col=0.3,
+                                     p_err=0.15)
+        e0, ok0 = OSDecoder(H, lam=0).decode(s, rel)
+        e2, ok2 = OSDecoder(H, lam=10).decode(s, rel)
+        assert ok0.all() and ok2.all()
+        assert (e2.sum(axis=0) <= e0.sum(axis=0)).all()
+        assert np.array_equal(H @ e2 % 2, s)
+
+
+def test_osd_ranking_prefers_reliable_solution():
+    # single-error syndrome with the true column marked most-unreliable:
+    # OSD-0 must pick exactly that column
+    rng = np.random.default_rng(23)
+    n = 24
+    H = np.eye(16, dtype=np.uint8)[:, rng.permutation(24)[:16].argsort()]
+    H = (rng.random((16, n)) < 0.3).astype(np.uint8)
+    H[:, 0] |= 0  # ensure col 0 arbitrary
+    e_true = np.zeros((n, 1), dtype=np.uint8)
+    e_true[5] = 1
+    s = H @ e_true % 2
+    rel = np.full((n, 1), 10.0, dtype=np.float32)
+    rel[5] = -10.0  # most likely in error
+    e, ok = OSDecoder(H, lam=0).decode(s, rel)
+    assert ok[0]
+    assert np.array_equal(e, e_true)
+
+
+@pytest.mark.parametrize("algorithm", ["sum-product", "min-sum",
+                                       "layered-min-sum"])
+def test_return_soft_shapes_and_ranking(small_graphs, algorithm):
+    graphs = small_graphs
+    n, batch = graphs.code.n, 16
+    xe, ze = sample_weight_w_errors(jax.random.PRNGKey(2), n, 3, batch)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    cfg = BPConfig(max_iters=20, algorithm=algorithm, kernel="xla",
+                   return_soft=True)
+    res = decode_batch(graphs, sx, sz, 0.02, cfg)
+    assert res.soft_x.shape == (n, batch)
+    assert res.soft_z.shape == (n, batch)
+    if algorithm == "layered-min-sum":
+        # layered soft IS the posterior: decisions == (posterior <= 0)
+        assert np.array_equal(np.asarray(res.decisions_x),
+                              np.asarray(res.soft_x <= 0.0).astype(np.int8))
+    # soft defaults to None when not requested
+    res2 = decode_batch(graphs, sx, sz, 0.02,
+                        BPConfig(max_iters=20, algorithm=algorithm,
+                                 kernel="xla"))
+    assert res2.soft_x is None and res2.soft_z is None
+
+
+def test_css_postprocessor_resolves_failures(small_graphs):
+    graphs = small_graphs
+    n, batch = graphs.code.n, 64
+    # heavy errors so plenty of lanes fail BP
+    xe, ze = sample_weight_w_errors(jax.random.PRNGKey(4), n, 5, batch)
+    sx = graphs.x.syndrome(xe.astype(jnp.int32))
+    sz = graphs.z.syndrome(ze.astype(jnp.int32))
+    cfg = BPConfig(max_iters=15, kernel="xla", return_soft=True)
+    res = decode_batch(graphs, sx, sz, 0.02, cfg)
+    ec0 = np.asarray(res.error_code)
+    failed_x = (ec0 & SYNDROME_FAIL_X) != 0
+    assert failed_x.any(), "fixture produced no BP failures; raise the weight"
+
+    dx, dz, ec = CSSPostprocessor(graphs, lam=4).apply(
+        np.asarray(sx), np.asarray(sz), res)
+    # all syndrome failures resolved, and the fixes actually re-encode
+    assert ((ec & (SYNDROME_FAIL_X | SYNDROME_FAIL_Z)) == 0).all()
+    assert np.array_equal(
+        np.asarray(graphs.x.syndrome(jnp.asarray(dx, jnp.int32))),
+        np.asarray(sx))
+    assert np.array_equal(
+        np.asarray(graphs.z.syndrome(jnp.asarray(dz, jnp.int32))),
+        np.asarray(sz))
+    # untouched lanes keep their decisions; convergence flags preserved
+    ok_lanes = (ec0 & (SYNDROME_FAIL_X | SYNDROME_FAIL_Z)) == 0
+    assert np.array_equal(dx[:, ok_lanes],
+                          np.asarray(res.decisions_x)[:, ok_lanes])
+    syn_bits = SYNDROME_FAIL_X | SYNDROME_FAIL_Z
+    assert np.array_equal(ec0 & ~syn_bits, ec & ~syn_bits)
+
+
+def test_run_monte_carlo_osd_improves_on_base(small_graphs):
+    graphs = small_graphs
+    cfg = BPConfig(max_iters=20, kernel="xla")
+    base, _ = run_monte_carlo(graphs, 4, 512, 0.02, cfg, seed=7,
+                              batch_size=128)
+    osd, _ = run_monte_carlo_osd(graphs, 4, 512, 0.02, cfg, seed=7,
+                                 batch_size=128, lam=4)
+    # same error draws (identical per-chunk keys)
+    assert osd[C_TESTED] == base[C_TESTED]
+    # every BP failure repaired into a syndrome-valid correction
+    assert osd[C_SYN_X] == 0 and osd[C_SYN_Z] == 0
+    assert osd[C_CORRECTED] + osd[C_LOGICAL] == osd[C_TESTED]
+    assert osd[C_CORRECTED] >= base[C_CORRECTED]
+    # convergence-fail counters keep their orthogonal reference meaning
+    assert osd[C_CONV_X] == base[C_CONV_X]
+    assert osd[C_CONV_Z] == base[C_CONV_Z]
