@@ -14,11 +14,17 @@ from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.min_sum import min_sum_run
 from qec_ldpc_tpu.decoder.osd import CSSPostprocessor, OSDecoder
 from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_update
+from qec_ldpc_tpu.decoder.validate import (
+    checked_decode_batch,
+    validate_decode_result,
+)
 
 __all__ = [
     "BPConfig",
     "OSDecoder",
     "CSSPostprocessor",
+    "checked_decode_batch",
+    "validate_decode_result",
     "min_sum_run",
     "layered_min_sum_run",
     "CirculantGraph",

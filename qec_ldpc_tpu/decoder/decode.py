@@ -222,9 +222,13 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
         conv_fail = _not_converged_mask(v, cfg.conv_low, cfg.conv_high)  # (batch,)
         if cfg.return_soft:
             # probability-domain messages -> summed edge LLRs (same affine-
-            # image ranking argument as the min-sum path)
+            # image ranking argument as the min-sum path).  Saturated lanes
+            # can hold NaN messages (0/0 in the masked VN posterior between
+            # convergence checks — see decoder/validate.py); a NaN edge
+            # carries no usable information, so it contributes 0 LLR.
             vc = jnp.clip(vv, 1e-12, 1.0 - 1e-7)
-            soft = jnp.sum(jnp.log1p(-vc) - jnp.log(vc), axis=0)
+            term = jnp.log1p(-vc) - jnp.log(vc)
+            soft = jnp.sum(jnp.where(jnp.isnan(vv), 0.0, term), axis=0)
         else:
             soft = None
     # re-encode and compare syndromes (DecoderCPU.h:380-384)
