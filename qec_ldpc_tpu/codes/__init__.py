@@ -8,6 +8,7 @@ from qec_ldpc_tpu.codes.construction import (
     gf2_rref,
     multiplicative_order,
 )
+from qec_ldpc_tpu.codes.analysis import girth_report, qc_has_4cycles, tanner_girth
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode, construct_code, exponents_from_pcm
 from qec_ldpc_tpu.codes.loader import load_code_file, save_code_file
 
@@ -25,4 +26,7 @@ __all__ = [
     "gf2_annihilator",
     "gf2_rref",
     "exponents_from_pcm",
+    "tanner_girth",
+    "qc_has_4cycles",
+    "girth_report",
 ]

@@ -175,9 +175,10 @@ def test_css_postprocessor_resolves_failures(small_graphs):
     assert np.array_equal(ec0 & ~syn_bits, ec & ~syn_bits)
 
 
-def test_run_monte_carlo_osd_improves_on_base(small_graphs):
+@pytest.mark.parametrize("algorithm", ["sum-product", "layered-min-sum"])
+def test_run_monte_carlo_osd_improves_on_base(small_graphs, algorithm):
     graphs = small_graphs
-    cfg = BPConfig(max_iters=20, kernel="xla")
+    cfg = BPConfig(max_iters=20, kernel="xla", algorithm=algorithm)
     base, _ = run_monte_carlo(graphs, 4, 512, 0.02, cfg, seed=7,
                               batch_size=128)
     osd, _ = run_monte_carlo_osd(graphs, 4, 512, 0.02, cfg, seed=7,
