@@ -13,6 +13,7 @@ from qec_ldpc_tpu.decoder.layered import layered_min_sum_run
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.min_sum import min_sum_run
 from qec_ldpc_tpu.decoder.osd import CSSPostprocessor, OSDecoder
+from qec_ldpc_tpu.decoder.relay import relay_decode_batch
 from qec_ldpc_tpu.decoder.sum_product import BPConfig, bp_run, cn_update, vn_update
 from qec_ldpc_tpu.decoder.validate import (
     checked_decode_batch,
@@ -23,6 +24,7 @@ __all__ = [
     "BPConfig",
     "OSDecoder",
     "CSSPostprocessor",
+    "relay_decode_batch",
     "checked_decode_batch",
     "validate_decode_result",
     "min_sum_run",

@@ -136,3 +136,10 @@ class CirculantGraph:
         b_p = s.reshape(self.B, 1, self.P, -1)
         full = jnp.broadcast_to(b_p, (self.B, self.L, self.P, s.shape[-1]))
         return full.reshape(self.num_edges, -1)
+
+    def expand_vars(self, g: jnp.ndarray) -> jnp.ndarray:
+        """Per-variable values (L*P, batch) -> CHECK-indexed per-edge rows
+        (B*L*P, batch): replicate across the B incident checks (var-indexed
+        order), then roll to check order."""
+        full = jnp.broadcast_to(g[None], (self.B, *g.shape))
+        return self.to_check(full.reshape(self.num_edges, -1))

@@ -124,9 +124,18 @@ def min_sum_run(
     check_every: int = 10,
     conv_low: float = 0.01,
     alpha: float = 0.75,
+    damping: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Run normalized min-sum.  Returns (v_final LLRs (num_edges, batch),
-    iters_executed) — same contract as sum_product.bp_run but in LLR domain."""
+    iters_executed) — same contract as sum_product.bp_run but in LLR domain.
+
+    ``damping``: optional per-edge memory coefficients, check-indexed
+    ``(num_edges, batch)`` in [0, 1): each iteration blends
+    ``v = damping * v_old + (1 - damping) * v_standard``.  Uniform damping is
+    the classic BP stabilizer; RANDOM per-variable damping across ensemble
+    retries breaks trapping-set symmetry — the engine of the relay decoder
+    (decoder/relay.py).  ``None`` (default) is the exact undamped update.
+    """
     batch = syndrome.shape[-1]
     sign = graph.expand_checks(1.0 - 2.0 * syndrome.astype(jnp.float32))
     prior = jnp.asarray(prior, dtype=jnp.float32)
@@ -143,6 +152,8 @@ def min_sum_run(
         n, v, done = state
         e = cn_update_min_sum(graph, v, sign, alpha)
         v_new = vn_update_llr(graph, e, prior_llr, last=(n == max_iters - 1))
+        if damping is not None:
+            v_new = damping * v + (1.0 - damping) * v_new
         v_new = jnp.where(done[None, :], v, v_new)
         check_now = (n % check_every) == 0
         conv = check_now & ~_not_converged_mask_llr(v_new, band)

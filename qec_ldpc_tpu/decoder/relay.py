@@ -1,0 +1,125 @@
+"""Relay / ensemble BP: randomized damped retries for BP failures, on device.
+
+The fully-TPU-native alternative to OSD post-processing (decoder/osd.py):
+when min-sum's hard decision violates the syndrome, re-run the decode with
+RANDOM PER-VARIABLE DAMPING (memory) coefficients — each retry blends
+``v = gamma_v * v_old + (1 - gamma_v) * v_new`` with fresh ``gamma_v`` draws.
+Damping disorder breaks the trapping-set symmetries that pin flooding BP, so
+different retries escape different traps; a lane is done as soon as any
+retry's hard decision satisfies the syndrome.  (Ensemble/memory-BP decoders
+of this family are reported to match or beat BP+OSD on quantum LDPC codes —
+see PAPERS.md, arXiv:2507.00254 — and unlike OSD the whole thing is batched
+device arithmetic: no host round-trip, no Gaussian elimination.)
+
+Unlike OSD, a relay repair is a genuine BP fixed point — typically the
+low-weight coset representative — so repaired lanes convert into CORRECTED
+outcomes at a much higher rate than OSD's anything-that-satisfies-the-
+syndrome solutions.
+
+Implementation notes (TPU-first): retries run under ``lax.while_loop`` with
+the full batch resident; already-solved lanes have their syndromes masked to
+zero, which makes them converge at the first convergence check, so each
+retry's cost is dominated by the still-failed lanes.  Everything is static
+shapes; the retry counter is the only dynamic state.  Uses the XLA min-sum
+engine (the damped update lives in ``min_sum_run``; the fused Pallas kernels
+stay undamped/exact).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from qec_ldpc_tpu.decoder.decode import (
+    SYNDROME_FAIL_X,
+    SYNDROME_FAIL_Z,
+    CodeGraphs,
+    decode_batch,
+)
+from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+from qec_ldpc_tpu.decoder.sum_product import BPConfig
+
+
+def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
+                     decisions0, solved0, retries: int,
+                     gamma_low: float, gamma_high: float):
+    """Retry loop for one graph.  decisions0/solved0: the primary decode's
+    hard decisions and per-lane syndrome-satisfied mask.  Returns (decisions,
+    solved, retries_used)."""
+    batch = syndrome.shape[-1]
+
+    def cond(state):
+        r, _, solved = state
+        return (r < retries) & ~jnp.all(solved)
+
+    def body(state):
+        r, decisions, solved = state
+        rk = jax.random.fold_in(key, r)
+        gamma = jax.random.uniform(
+            rk, (graph.num_vars, batch), jnp.float32, gamma_low, gamma_high)
+        damping = graph.expand_vars(gamma)
+        # solved lanes: zero syndrome -> trivially converged at first check
+        s_eff = jnp.where(solved[None, :], 0, syndrome)
+        v, _ = min_sum_run(graph, s_eff, prior_llr_p,
+                           max_iters=cfg.max_iters,
+                           check_every=cfg.check_every,
+                           conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+                           damping=damping)
+        vv = graph.vn_view(graph.to_var(v))
+        d_new = jnp.any(vv <= 0.0, axis=0).astype(decisions.dtype)
+        s_hat = graph.syndrome(d_new.astype(jnp.int32))
+        sat = ~jnp.any(s_hat != syndrome, axis=0)
+        newly = sat & ~solved
+        decisions = jnp.where(newly[None, :], d_new, decisions)
+        return r + 1, decisions, solved | newly
+
+    r_used, decisions, solved = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), decisions0, solved0))
+    return decisions, solved, r_used
+
+
+@partial(jax.jit, static_argnames=("graphs", "cfg", "retries",
+                                   "gamma_low", "gamma_high"))
+def relay_decode_batch(
+    graphs: CodeGraphs,
+    syndrome_x: jnp.ndarray,
+    syndrome_z: jnp.ndarray,
+    error_probability,
+    key: jax.Array,
+    cfg: BPConfig = BPConfig(),
+    retries: int = 8,
+    gamma_low: float = 0.1,
+    gamma_high: float = 0.9,
+    consts=None,
+):
+    """Primary decode (cfg as configured, fused kernels and all) + relay
+    retries for failed lanes.  Returns the primary DecodeResult with
+    decisions/error_code overwritten where a retry repaired the lane, plus
+    per-graph retry counts: ``(result, retries_x, retries_z)``.
+
+    SYNDROME_FAIL bits are cleared on repaired lanes; convergence-fail bits
+    keep their reference meaning from the primary decode.
+    """
+    res = decode_batch(graphs, syndrome_x, syndrome_z, error_probability,
+                       cfg, consts=consts)
+    prior = jnp.float32(cfg.prior_factor) * jnp.asarray(error_probability,
+                                                        jnp.float32)
+    kx, kz = jax.random.split(key)
+    ec = res.error_code
+    out = {}
+    for name, bit, graph, syn, dec, k in (
+        ("x", SYNDROME_FAIL_X, graphs.x, syndrome_x, res.decisions_x, kx),
+        ("z", SYNDROME_FAIL_Z, graphs.z, syndrome_z, res.decisions_z, kz),
+    ):
+        solved0 = (ec & bit) == 0
+        d, solved, r_used = _relay_one_graph(
+            graph, syn, prior, cfg, k, dec, solved0, retries,
+            gamma_low, gamma_high)
+        ec = jnp.where(solved, ec & ~bit, ec)
+        out[name] = (d, r_used)
+    result = dataclasses.replace(res, decisions_x=out["x"][0],
+                                 decisions_z=out["z"][0], error_code=ec)
+    return result, out["x"][1], out["z"][1]

@@ -78,11 +78,13 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                       f"|p={p:g}|seed={seed}")
             if cfg.osd >= 0:
                 run_id += f"|osd={cfg.osd}"
+            if cfg.relay > 0:
+                run_id += f"|relay={cfg.relay}"
             fname = format_result_filename(str(code), w, cfg.max_iterations, p)
             out_path = os.path.join(cfg.results_dir, fname)
             _log(log, out_path)
 
-            if cfg.osd >= 0:  # OSD mode has no chunk-exact resume
+            if cfg.osd >= 0 or cfg.relay > 0:  # quality mode: no chunk-exact resume
                 start_chunk, init_counters, init_iters = 0, None, 0
             else:
                 start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
@@ -96,13 +98,14 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 })
 
             t0 = time.perf_counter()
-            if cfg.osd >= 0:
-                # OSD quality mode: host post-processing per chunk
+            if cfg.osd >= 0 or cfg.relay > 0:
+                # quality mode: relay and/or OSD repairs per chunk
                 # (no mesh scan / journal resume — chunks aren't pure-device)
                 counters, bp_iters = run_monte_carlo_osd(
                     graphs, w, cfg.count, p, bp_cfg, seed + i,
                     batch_size=cfg.batch_size, lam=cfg.osd,
                     error_model=cfg.error_model, progress=on_chunk,
+                    relay_retries=cfg.relay,
                 )
             else:
                 counters, bp_iters = run_monte_carlo(

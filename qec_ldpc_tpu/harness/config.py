@@ -43,8 +43,13 @@ class RunConfig:
     steps_per_call: int = 8
     #: OSD post-processing of BP failures (decoder/osd.py): -1 = off,
     #: 0 = OSD-0, >0 = combination sweep over that many non-pivot columns.
-    #: Quality mode — runs chunk-at-a-time with host round-trips.
+    #: Quality mode — runs chunk-at-a-time with host round-trips.  Pairs
+    #: best with an LLR-domain algorithm (min-sum / layered-min-sum).
     osd: int = -1
+    #: on-device ensemble relay repairs of BP failures (decoder/relay.py):
+    #: number of randomized damped min-sum retries (0 = off).  Composable
+    #: with osd (relay first, OSD mops up).
+    relay: int = 0
 
     def sweep_points(self) -> list[tuple[int, float]]:
         """The (weight, p) grid this run covers: the reference's w..W sweep at

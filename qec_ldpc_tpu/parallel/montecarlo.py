@@ -139,13 +139,16 @@ def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
 
 
 @partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch",
-                                   "error_model"))
+                                   "error_model", "relay_retries"))
 def mc_chunk_arrays(graphs: CodeGraphs, key: jax.Array, weight: int,
                     error_probability, cfg: BPConfig, batch: int,
-                    error_model: str = "weight", consts=None):
+                    error_model: str = "weight", relay_retries: int = 0,
+                    consts=None):
     """Sample + decode one batch, returning the full per-lane arrays
     (errors, syndromes, DecodeResult) instead of classified counters — the
-    device half of host post-processing paths (OSD)."""
+    device half of host post-processing paths (OSD).  ``relay_retries > 0``
+    first repairs BP failures on device with the ensemble relay decoder
+    (decoder/relay.py) before anything reaches the host."""
     n = graphs.code.n
     if error_model == "weight":
         xe, ze = sample_weight_w_errors(key, n, weight, batch)
@@ -157,7 +160,16 @@ def mc_chunk_arrays(graphs: CodeGraphs, key: jax.Array, weight: int,
     ze_i = ze.astype(jnp.int32)
     sx = graphs.x.syndrome(xe_i)
     sz = graphs.z.syndrome(ze_i)
-    res = decode_batch(graphs, sx, sz, error_probability, cfg, consts=consts)
+    if relay_retries > 0:
+        from qec_ldpc_tpu.decoder.relay import relay_decode_batch
+
+        relay_key = jax.random.fold_in(key, jnp.uint32(0x52454C41))
+        res, _, _ = relay_decode_batch(
+            graphs, sx, sz, error_probability, relay_key, cfg,
+            retries=relay_retries, consts=consts)
+    else:
+        res = decode_batch(graphs, sx, sz, error_probability, cfg,
+                           consts=consts)
     # int8 narrowing: these arrays round-trip to the host per chunk
     return (xe.astype(jnp.int8), ze.astype(jnp.int8),
             sx.astype(jnp.int8), sz.astype(jnp.int8), res)
@@ -174,29 +186,40 @@ def run_monte_carlo_osd(
     lam: int = 0,
     error_model: str = "weight",
     progress: "callable | None" = None,
+    relay_retries: int = 0,
 ):
-    """Monte-Carlo statistics with OSD post-processing of BP failures.
+    """Monte-Carlo statistics with repair of BP failures (the QUALITY mode).
 
     Same counter contract and per-chunk sample keys as
-    :func:`run_monte_carlo` (seed-for-seed identical error draws), but every
-    lane whose BP hard decision violates its syndrome is re-decoded with
-    ordered-statistics decoding on the host (decoder/osd.py) before
-    classification — syndrome-fail counters drop to (near) zero and the
-    corrected/logical split improves accordingly.  Classification runs on the
-    host (NumPy + native GF(2) matvec) since the spliced decisions live there
-    anyway.
+    :func:`run_monte_carlo` (seed-for-seed identical error draws).  Two
+    repair stages, each optional:
 
-    This is the QUALITY mode: each chunk round-trips its arrays to the host,
-    so prefer :func:`run_monte_carlo` for pure-throughput runs where BP
-    failures are only counted, not repaired.
+    * ``relay_retries > 0`` — on-device ensemble relay (decoder/relay.py):
+      randomized damped min-sum retries; repaired lanes are true BP fixed
+      points (usually the right logical coset).
+    * ``lam >= 0`` — host OSD (decoder/osd.py) on whatever still fails:
+      guaranteed syndrome-valid corrections (``lam`` = combination-sweep
+      depth).  Algorithm note: LLR-domain soft outputs rank far better than
+      saturated sum-product ones — pair OSD with ``algorithm="min-sum"`` or
+      ``"layered-min-sum"`` (see decoder/osd.py).
+
+    With both enabled: relay first (device), OSD mops up.  ``lam = -1``
+    disables OSD (relay only).  Classification runs on the host (NumPy +
+    native GF(2) matvec) since spliced decisions live there anyway; prefer
+    :func:`run_monte_carlo` for pure-throughput runs where failures are only
+    counted, not repaired.
     """
     import dataclasses as _dc
 
-    from qec_ldpc_tpu.decoder.osd import CSSPostprocessor
     from qec_ldpc_tpu.sampling.classify import classify_batch_np
 
-    cfg = _dc.replace(cfg, return_soft=True)
-    post = CSSPostprocessor(graphs, lam=lam)
+    if lam >= 0:
+        from qec_ldpc_tpu.decoder.osd import CSSPostprocessor
+
+        cfg = _dc.replace(cfg, return_soft=True)
+        post = CSSPostprocessor(graphs, lam=lam)
+    else:
+        post = None
     consts = kernel_consts(graphs, cfg)
     key = jax.random.PRNGKey(seed)
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
@@ -206,8 +229,13 @@ def run_monte_carlo_osd(
         ck = jax.random.fold_in(key, np.uint32(c))
         xe, ze, sx, sz, res = mc_chunk_arrays(
             graphs, ck, weight, jnp.float32(error_probability), cfg,
-            batch_size, error_model, consts)
-        dx, dz, ec = post.apply(np.asarray(sx), np.asarray(sz), res)
+            batch_size, error_model, relay_retries, consts)
+        if post is not None:
+            dx, dz, ec = post.apply(np.asarray(sx), np.asarray(sz), res)
+        else:
+            dx, dz, ec = (np.asarray(res.decisions_x),
+                          np.asarray(res.decisions_z),
+                          np.asarray(res.error_code))
         counters = classify_batch_np(graphs.code.i_minus_p, np.asarray(xe),
                                      np.asarray(ze), dx, dz, ec)
         chunk_iters = int(res.iter_samples_x) + int(res.iter_samples_z)
