@@ -77,6 +77,9 @@ def main() -> int:
                     help="OSD post-processing of BP failures: -1 off, "
                          "0 OSD-0, >0 combination-sweep depth (quality "
                          "mode; host round-trip per chunk)")
+    ap.add_argument("--relay", type=int, default=0, metavar="RETRIES",
+                    help="on-device ensemble relay repairs before OSD: "
+                         "number of randomized damped min-sum retries")
     args = ap.parse_args()
 
     setup_jax_cache()
@@ -98,14 +101,15 @@ def main() -> int:
     group = args.batch * args.steps_per_call
     count = -(-args.count // group) * group
     for w in (int(x) for x in args.weights.split(",")):
-        if args.osd >= 0:
+        if args.osd >= 0 or args.relay > 0:
             run_monte_carlo_osd(graphs, w, args.batch, args.p, cfg,
                                 seed=args.seed + w, batch_size=args.batch,
-                                lam=args.osd)  # warm-up
+                                lam=args.osd, relay_retries=args.relay)  # warm-up
             t0 = time.perf_counter()
             counters, bp_iters = run_monte_carlo_osd(
                 graphs, w, count, args.p, cfg, seed=args.seed + w,
-                batch_size=args.batch, lam=args.osd)
+                batch_size=args.batch, lam=args.osd,
+                relay_retries=args.relay)
         else:
             run_monte_carlo(graphs, w, group, args.p, cfg, seed=args.seed + w,
                             batch_size=args.batch,
@@ -120,6 +124,7 @@ def main() -> int:
             "metric": "ler_sweep",
             "algorithm": args.algorithm,
             "osd": args.osd,
+            "relay": args.relay,
             "weight": w,
             "p": args.p,
             "max_iters": args.iters,
