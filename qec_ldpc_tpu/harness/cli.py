@@ -84,7 +84,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
             out_path = os.path.join(cfg.results_dir, fname)
             _log(log, out_path)
 
-            if cfg.osd >= 0 or cfg.relay > 0:  # quality mode: no chunk-exact resume
+            if cfg.osd >= 0:  # host-OSD mode has no chunk-exact resume
                 start_chunk, init_counters, init_iters = 0, None, 0
             else:
                 start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
@@ -98,8 +98,8 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 })
 
             t0 = time.perf_counter()
-            if cfg.osd >= 0 or cfg.relay > 0:
-                # quality mode: relay and/or OSD repairs per chunk
+            if cfg.osd >= 0:
+                # host-OSD quality mode: relay (optional) then OSD per chunk
                 # (no mesh scan / journal resume — chunks aren't pure-device)
                 counters, bp_iters = run_monte_carlo_osd(
                     graphs, w, cfg.count, p, bp_cfg, seed + i,
@@ -108,6 +108,8 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                     relay_retries=cfg.relay,
                 )
             else:
+                # standard path; relay (if any) stays pure-device, so mesh
+                # scale-out, device scans, and journal resume all compose
                 counters, bp_iters = run_monte_carlo(
                     graphs, w, cfg.count, p, bp_cfg, seed + i,
                     batch_size=cfg.batch_size, mesh=mesh,
@@ -115,6 +117,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                     progress=on_chunk, start_chunk=start_chunk,
                     init_counters=init_counters,
                     steps_per_call=cfg.steps_per_call,
+                    relay_retries=cfg.relay,
                 )
             duration_us = int((time.perf_counter() - t0) * 1e6)
 

@@ -35,11 +35,16 @@ from qec_ldpc_tpu.sampling.errors import (
 
 def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
                 weight: int, error_probability, cfg: BPConfig, batch: int,
-                error_model: str, consts=None):
+                error_model: str, consts=None, relay_retries: int = 0):
     """Sample + decode + classify one batch.  Returns (counters[NUM_COUNTERS],
     iters[2]) with iters = executed BP lane-iterations (sum over batch lanes
     of each lane's iteration count) for [X, Z] — the honest work measure
-    under early exit (SURVEY §7)."""
+    under early exit (SURVEY §7).
+
+    ``relay_retries > 0``: BP failures are repaired on device by the
+    ensemble relay decoder before classification (decoder/relay.py) — the
+    pure-device quality mode, shardable like everything else here (OSD, by
+    contrast, needs the host and lives in run_monte_carlo_osd)."""
     n = graphs.code.n
     if error_model == "weight":
         xe, ze = sample_weight_w_errors(key, n, weight, batch)
@@ -51,7 +56,16 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
     ze_i = ze.astype(jnp.int32)
     sx = graphs.x.syndrome(xe_i)
     sz = graphs.z.syndrome(ze_i)
-    res = decode_batch(graphs, sx, sz, error_probability, cfg, consts=consts)
+    if relay_retries > 0:
+        from qec_ldpc_tpu.decoder.relay import relay_decode_batch
+
+        relay_key = jax.random.fold_in(key, jnp.uint32(0x52454C41))
+        res, _, _ = relay_decode_batch(
+            graphs, sx, sz, error_probability, relay_key, cfg,
+            retries=relay_retries, consts=consts)
+    else:
+        res = decode_batch(graphs, sx, sz, error_probability, cfg,
+                           consts=consts)
     counters = classify_batch(i_minus_p, xe_i, ze_i,
                               res.decisions_x.astype(jnp.int32),
                               res.decisions_z.astype(jnp.int32),
@@ -60,18 +74,20 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
     return counters, iters
 
 
-@partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch", "error_model"))
+@partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch",
+                                   "error_model", "relay_retries"))
 def mc_chunk(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
              weight: int, error_probability, cfg: BPConfig, batch: int,
-             error_model: str = "weight", consts=None):
+             error_model: str = "weight", consts=None,
+             relay_retries: int = 0):
     """Single-device Monte-Carlo chunk.  ``consts``: kernel_consts(graphs,
     cfg) — pass explicitly so kernel operands stay runtime parameters."""
     return _chunk_body(graphs, i_minus_p, key, weight, error_probability, cfg,
-                       batch, error_model, consts)
+                       batch, error_model, consts, relay_retries)
 
 
 def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
-                 cfg, batch, error_model, consts=None):
+                 cfg, batch, error_model, consts=None, relay_retries=0):
     """Scan several chunks on device in one dispatch.  Each chunk derives its
     key as fold_in(key, chunk_id) — identical statistics to dispatching the
     chunks one by one, but the per-dispatch runtime overhead (tens of ms on
@@ -82,7 +98,7 @@ def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
         ck = jax.random.fold_in(key, c)
         cnt, its = _chunk_body(graphs, i_minus_p, ck, weight,
                                error_probability, cfg, batch, error_model,
-                               consts)
+                               consts, relay_retries)
         return (counters + cnt, iters + its), None
 
     init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.zeros(2, jnp.int32))
@@ -92,12 +108,13 @@ def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
 
 _scan_chunks_jit = jax.jit(
     _scan_chunks,
-    static_argnames=("graphs", "weight", "cfg", "batch", "error_model"))
+    static_argnames=("graphs", "weight", "cfg", "batch", "error_model",
+                     "relay_retries"))
 
 
 def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
                        cfg: BPConfig, batch_per_device: int,
-                       error_model: str = "weight"):
+                       error_model: str = "weight", relay_retries: int = 0):
     """Build a jitted shard_map chunk group: each data-axis device decodes its
     own sub-batch with its own fold_in key and early-exit loop; counters are
     psum-reduced to a replicated [NUM_COUNTERS] vector (the TPU analog of the
@@ -116,7 +133,7 @@ def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
             ck = jax.random.fold_in(jax.random.fold_in(key, c), idx)
             cnt, its = _chunk_body(
                 graphs, i_minus_p, ck, weight, error_probability, cfg,
-                batch_per_device, error_model, consts)
+                batch_per_device, error_model, consts, relay_retries)
             return (counters + cnt, iters + its), None
 
         init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.zeros(2, jnp.int32))
@@ -260,6 +277,7 @@ def run_monte_carlo(
     start_chunk: int = 0,
     init_counters: np.ndarray | None = None,
     steps_per_call: int = 1,
+    relay_retries: int = 0,
 ):
     """Accumulate statistics counters over ``count`` samples.
 
@@ -275,6 +293,9 @@ def run_monte_carlo(
 
     ``start_chunk``/``init_counters`` support journal-based resume
     (harness/journal.py); ``start_chunk`` counts dispatch groups.
+    ``relay_retries > 0`` repairs BP failures on device with the ensemble
+    relay decoder before classification (decoder/relay.py) — quality mode
+    that stays pure-device, so it composes with meshes, scans, and resume.
     Returns (counters[NUM_COUNTERS], total_bp_iters) where total_bp_iters
     counts executed BP lane-iterations (X + Z) across all samples.
     """
@@ -283,7 +304,8 @@ def run_monte_carlo(
     if mesh is not None:
         num_data = mesh.shape[DATA_AXIS]
         per_dev = max(1, batch_size // num_data)
-        chunk_fn = make_sharded_chunk(mesh, graphs, weight, cfg, per_dev, error_model)
+        chunk_fn = make_sharded_chunk(mesh, graphs, weight, cfg, per_dev,
+                                      error_model, relay_retries)
         chunk_samples = per_dev * num_data
         consts = kernel_consts(graphs, cfg)
         def run_group(ids, p):
@@ -294,7 +316,7 @@ def run_monte_carlo(
         def run_group(ids, p):
             return _scan_chunks_jit(graphs, i_minus_p, key, ids, weight,
                                     jnp.float32(p), cfg, batch_size,
-                                    error_model, consts)
+                                    error_model, consts, relay_retries)
 
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     if init_counters is not None:

@@ -115,6 +115,23 @@ def test_run_monte_carlo_relay_modes(graphs):
     assert both[C_CORRECTED] >= relay_only[C_CORRECTED]
 
 
+def test_relay_sharded_mesh(graphs):
+    """Relay inside the shard_map chunk: pure-device, so it composes with
+    the data-parallel mesh (psum counters) — failures drop vs the base
+    sharded run with identical sample keys."""
+    from qec_ldpc_tpu.parallel import make_mesh, run_monte_carlo
+    from qec_ldpc_tpu.sampling.classify import C_SYN_X, C_SYN_Z, C_TESTED
+
+    mesh = make_mesh()
+    cfg = BPConfig(max_iters=20, kernel="xla", algorithm="min-sum")
+    kw = dict(seed=7, batch_size=64, mesh=mesh)
+    base, _ = run_monte_carlo(graphs, 4, 256, 0.02, cfg, **kw)
+    relay, _ = run_monte_carlo(graphs, 4, 256, 0.02, cfg, relay_retries=8,
+                               **kw)
+    assert relay[C_TESTED] == base[C_TESTED]
+    assert (relay[C_SYN_X] + relay[C_SYN_Z]) < (base[C_SYN_X] + base[C_SYN_Z])
+
+
 def test_relay_noop_on_clean_batch(graphs):
     n = graphs.code.n
     xe, ze = sample_weight_w_errors(jax.random.PRNGKey(0), n, 1, 32)
