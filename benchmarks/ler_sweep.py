@@ -101,7 +101,8 @@ def main() -> int:
     group = args.batch * args.steps_per_call
     count = -(-args.count // group) * group
     for w in (int(x) for x in args.weights.split(",")):
-        if args.osd >= 0 or args.relay > 0:
+        if args.osd >= 0:
+            # host-OSD quality mode (relay optionally first)
             run_monte_carlo_osd(graphs, w, args.batch, args.p, cfg,
                                 seed=args.seed + w, batch_size=args.batch,
                                 lam=args.osd, relay_retries=args.relay)  # warm-up
@@ -111,13 +112,17 @@ def main() -> int:
                 batch_size=args.batch, lam=args.osd,
                 relay_retries=args.relay)
         else:
+            # pure-device path — relay (if any) composes with the on-device
+            # chunk scan, same as the CLI's routing
             run_monte_carlo(graphs, w, group, args.p, cfg, seed=args.seed + w,
                             batch_size=args.batch,
-                            steps_per_call=args.steps_per_call)  # warm-up
+                            steps_per_call=args.steps_per_call,
+                            relay_retries=args.relay)  # warm-up
             t0 = time.perf_counter()
             counters, bp_iters = run_monte_carlo(
                 graphs, w, count, args.p, cfg, seed=args.seed + w,
-                batch_size=args.batch, steps_per_call=args.steps_per_call)
+                batch_size=args.batch, steps_per_call=args.steps_per_call,
+                relay_retries=args.relay)
         secs = time.perf_counter() - t0
         tested = int(counters[C_TESTED])
         rec = {

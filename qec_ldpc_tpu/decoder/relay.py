@@ -48,37 +48,41 @@ def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
                      gamma_low: float, gamma_high: float):
     """Retry loop for one graph.  decisions0/solved0: the primary decode's
     hard decisions and per-lane syndrome-satisfied mask.  Returns (decisions,
-    solved, retries_used)."""
+    solved, retries_used, extra_lane_iters) — extra_lane_iters counts the
+    retries' executed BP lane-iterations (iterations x batch per retry; the
+    XLA loop runs every lane until its global exit), keeping the honest-work
+    accounting of DecodeResult.iter_samples_* intact in relay mode."""
     batch = syndrome.shape[-1]
 
     def cond(state):
-        r, _, solved = state
+        r, _, solved, _ = state
         return (r < retries) & ~jnp.all(solved)
 
     def body(state):
-        r, decisions, solved = state
+        r, decisions, solved, lane_iters = state
         rk = jax.random.fold_in(key, r)
         gamma = jax.random.uniform(
             rk, (graph.num_vars, batch), jnp.float32, gamma_low, gamma_high)
         damping = graph.expand_vars(gamma)
         # solved lanes: zero syndrome -> trivially converged at first check
         s_eff = jnp.where(solved[None, :], 0, syndrome)
-        v, _ = min_sum_run(graph, s_eff, prior_llr_p,
-                           max_iters=cfg.max_iters,
-                           check_every=cfg.check_every,
-                           conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
-                           damping=damping)
+        v, iters = min_sum_run(graph, s_eff, prior_llr_p,
+                               max_iters=cfg.max_iters,
+                               check_every=cfg.check_every,
+                               conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+                               damping=damping)
         vv = graph.vn_view(graph.to_var(v))
         d_new = jnp.any(vv <= 0.0, axis=0).astype(decisions.dtype)
         s_hat = graph.syndrome(d_new.astype(jnp.int32))
         sat = ~jnp.any(s_hat != syndrome, axis=0)
         newly = sat & ~solved
         decisions = jnp.where(newly[None, :], d_new, decisions)
-        return r + 1, decisions, solved | newly
+        return (r + 1, decisions, solved | newly,
+                lane_iters + iters * jnp.int32(batch))
 
-    r_used, decisions, solved = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), decisions0, solved0))
-    return decisions, solved, r_used
+    r_used, decisions, solved, lane_iters = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), decisions0, solved0, jnp.int32(0)))
+    return decisions, solved, r_used, lane_iters
 
 
 @partial(jax.jit, static_argnames=("graphs", "cfg", "retries",
@@ -101,7 +105,9 @@ def relay_decode_batch(
     per-graph retry counts: ``(result, retries_x, retries_z)``.
 
     SYNDROME_FAIL bits are cleared on repaired lanes; convergence-fail bits
-    keep their reference meaning from the primary decode.
+    keep their reference meaning from the primary decode.  The retries'
+    executed lane-iterations are added to ``iter_samples_x/z``, so work
+    accounting stays honest under relay.
     """
     res = decode_batch(graphs, syndrome_x, syndrome_z, error_probability,
                        cfg, consts=consts)
@@ -115,11 +121,13 @@ def relay_decode_batch(
         ("z", SYNDROME_FAIL_Z, graphs.z, syndrome_z, res.decisions_z, kz),
     ):
         solved0 = (ec & bit) == 0
-        d, solved, r_used = _relay_one_graph(
+        d, solved, r_used, lane_iters = _relay_one_graph(
             graph, syn, prior, cfg, k, dec, solved0, retries,
             gamma_low, gamma_high)
         ec = jnp.where(solved, ec & ~bit, ec)
-        out[name] = (d, r_used)
-    result = dataclasses.replace(res, decisions_x=out["x"][0],
-                                 decisions_z=out["z"][0], error_code=ec)
+        out[name] = (d, r_used, lane_iters)
+    result = dataclasses.replace(
+        res, decisions_x=out["x"][0], decisions_z=out["z"][0], error_code=ec,
+        iter_samples_x=res.iter_samples_x + out["x"][2],
+        iter_samples_z=res.iter_samples_z + out["z"][2])
     return result, out["x"][1], out["z"][1]

@@ -84,8 +84,15 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
             out_path = os.path.join(cfg.results_dir, fname)
             _log(log, out_path)
 
-            if cfg.osd >= 0:  # host-OSD mode has no chunk-exact resume
+            if cfg.osd >= 0:
+                # host-OSD mode: single-device, no chunk-exact resume, and
+                # no journal records (they could never be consumed and would
+                # duplicate chunk sequences across reruns)
                 start_chunk, init_counters, init_iters = 0, None, 0
+                if mesh is not None:
+                    _log(log, "  osd mode: device mesh disabled "
+                              "(host post-processing runs single-device)")
+                _log(log, "  osd mode: journal resume disabled")
             else:
                 start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
                 if start_chunk:
@@ -104,7 +111,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 counters, bp_iters = run_monte_carlo_osd(
                     graphs, w, cfg.count, p, bp_cfg, seed + i,
                     batch_size=cfg.batch_size, lam=cfg.osd,
-                    error_model=cfg.error_model, progress=on_chunk,
+                    error_model=cfg.error_model, progress=None,
                     relay_retries=cfg.relay,
                 )
             else:

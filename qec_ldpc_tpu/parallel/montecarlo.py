@@ -33,18 +33,18 @@ from qec_ldpc_tpu.sampling.errors import (
 )
 
 
-def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
-                weight: int, error_probability, cfg: BPConfig, batch: int,
-                error_model: str, consts=None, relay_retries: int = 0):
-    """Sample + decode + classify one batch.  Returns (counters[NUM_COUNTERS],
-    iters[2]) with iters = executed BP lane-iterations (sum over batch lanes
-    of each lane's iteration count) for [X, Z] — the honest work measure
-    under early exit (SURVEY §7).
+def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
+                       error_probability, cfg: BPConfig, batch: int,
+                       error_model: str, consts=None,
+                       relay_retries: int = 0):
+    """The shared device pipeline: sample errors -> syndromes -> decode
+    (ensemble-relay-repaired when ``relay_retries > 0``, decoder/relay.py).
+    Returns (xe, ze, sx, sz, res) with errors as int32.
 
-    ``relay_retries > 0``: BP failures are repaired on device by the
-    ensemble relay decoder before classification (decoder/relay.py) — the
-    pure-device quality mode, shardable like everything else here (OSD, by
-    contrast, needs the host and lives in run_monte_carlo_osd)."""
+    Single source of truth for BOTH the counter path (:func:`_chunk_body`)
+    and the array path (:func:`mc_chunk_arrays`) — the quality drivers'
+    seed-for-seed sample parity with :func:`run_monte_carlo` depends on
+    these staying identical."""
     n = graphs.code.n
     if error_model == "weight":
         xe, ze = sample_weight_w_errors(key, n, weight, batch)
@@ -66,6 +66,24 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
     else:
         res = decode_batch(graphs, sx, sz, error_probability, cfg,
                            consts=consts)
+    return xe_i, ze_i, sx, sz, res
+
+
+def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
+                weight: int, error_probability, cfg: BPConfig, batch: int,
+                error_model: str, consts=None, relay_retries: int = 0):
+    """Sample + decode + classify one batch.  Returns (counters[NUM_COUNTERS],
+    iters[2]) with iters = executed BP lane-iterations (sum over batch lanes
+    of each lane's iteration count) for [X, Z] — the honest work measure
+    under early exit (SURVEY §7), including relay retries.
+
+    ``relay_retries > 0``: BP failures are repaired on device by the
+    ensemble relay decoder before classification (decoder/relay.py) — the
+    pure-device quality mode, shardable like everything else here (OSD, by
+    contrast, needs the host and lives in run_monte_carlo_osd)."""
+    xe_i, ze_i, sx, sz, res = _sample_and_decode(
+        graphs, key, weight, error_probability, cfg, batch, error_model,
+        consts, relay_retries)
     counters = classify_batch(i_minus_p, xe_i, ze_i,
                               res.decisions_x.astype(jnp.int32),
                               res.decisions_z.astype(jnp.int32),
@@ -166,29 +184,11 @@ def mc_chunk_arrays(graphs: CodeGraphs, key: jax.Array, weight: int,
     device half of host post-processing paths (OSD).  ``relay_retries > 0``
     first repairs BP failures on device with the ensemble relay decoder
     (decoder/relay.py) before anything reaches the host."""
-    n = graphs.code.n
-    if error_model == "weight":
-        xe, ze = sample_weight_w_errors(key, n, weight, batch)
-    elif error_model == "depolarizing":
-        xe, ze = sample_depolarizing_errors(key, n, error_probability, batch)
-    else:
-        raise ValueError(f"unknown error model {error_model!r}")
-    xe_i = xe.astype(jnp.int32)
-    ze_i = ze.astype(jnp.int32)
-    sx = graphs.x.syndrome(xe_i)
-    sz = graphs.z.syndrome(ze_i)
-    if relay_retries > 0:
-        from qec_ldpc_tpu.decoder.relay import relay_decode_batch
-
-        relay_key = jax.random.fold_in(key, jnp.uint32(0x52454C41))
-        res, _, _ = relay_decode_batch(
-            graphs, sx, sz, error_probability, relay_key, cfg,
-            retries=relay_retries, consts=consts)
-    else:
-        res = decode_batch(graphs, sx, sz, error_probability, cfg,
-                           consts=consts)
+    xe_i, ze_i, sx, sz, res = _sample_and_decode(
+        graphs, key, weight, error_probability, cfg, batch, error_model,
+        consts, relay_retries)
     # int8 narrowing: these arrays round-trip to the host per chunk
-    return (xe.astype(jnp.int8), ze.astype(jnp.int8),
+    return (xe_i.astype(jnp.int8), ze_i.astype(jnp.int8),
             sx.astype(jnp.int8), sz.astype(jnp.int8), res)
 
 

@@ -107,9 +107,7 @@ def test_osd_ranking_prefers_reliable_solution():
     # OSD-0 must pick exactly that column
     rng = np.random.default_rng(23)
     n = 24
-    H = np.eye(16, dtype=np.uint8)[:, rng.permutation(24)[:16].argsort()]
     H = (rng.random((16, n)) < 0.3).astype(np.uint8)
-    H[:, 0] |= 0  # ensure col 0 arbitrary
     e_true = np.zeros((n, 1), dtype=np.uint8)
     e_true[5] = 1
     s = H @ e_true % 2

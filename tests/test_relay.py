@@ -115,6 +115,19 @@ def test_run_monte_carlo_relay_modes(graphs):
     assert both[C_CORRECTED] >= relay_only[C_CORRECTED]
 
 
+def test_relay_counts_retry_iterations(graphs, hard_syndromes):
+    """Honest work accounting: retry iterations are added to
+    iter_samples_x/z (regression: relay used to report only the primary
+    decode's work)."""
+    sx, sz = hard_syndromes
+    cfg = BPConfig(max_iters=20, kernel="xla", algorithm="min-sum")
+    base = decode_batch(graphs, sx, sz, 0.02, cfg)
+    res, rx, _ = relay_decode_batch(graphs, sx, sz, 0.02,
+                                    jax.random.PRNGKey(7), cfg, retries=4)
+    assert int(rx) > 0
+    assert int(res.iter_samples_x) > int(base.iter_samples_x)
+
+
 def test_relay_sharded_mesh(graphs):
     """Relay inside the shard_map chunk: pure-device, so it composes with
     the data-parallel mesh (psum counters) — failures drop vs the base
