@@ -11,6 +11,13 @@ of this family are reported to match or beat BP+OSD on quantum LDPC codes —
 see PAPERS.md, arXiv:2507.00254 — and unlike OSD the whole thing is batched
 device arithmetic: no host round-trip, no Gaussian elimination.)
 
+The DISORDER is the mechanism, not the damping: measured on weight-5
+failures of the P=7 code (16 retries, 3 seeds), scalar damping repairs
+almost nothing (γ≡0.5: 6/1143 failures; γ≡0.9: 0) while random per-variable
+draws repair ~84% — with the range mattering only mildly (best measured:
+γ ~ U[0.2, 0.95), the defaults below; U[0.1, 0.9) and U[0.5, 0.99) within
+a few percent).
+
 Unlike OSD, a relay repair is a genuine BP fixed point — typically the
 low-weight coset representative — so repaired lanes convert into CORRECTED
 outcomes at a much higher rate than OSD's anything-that-satisfies-the-
@@ -95,8 +102,8 @@ def relay_decode_batch(
     key: jax.Array,
     cfg: BPConfig = BPConfig(),
     retries: int = 8,
-    gamma_low: float = 0.1,
-    gamma_high: float = 0.9,
+    gamma_low: float = 0.2,
+    gamma_high: float = 0.95,
     consts=None,
 ):
     """Primary decode (cfg as configured, fused kernels and all) + relay
