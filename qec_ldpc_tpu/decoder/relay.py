@@ -27,9 +27,11 @@ Implementation notes (TPU-first): retries run under ``lax.while_loop`` with
 the full batch resident; already-solved lanes have their syndromes masked to
 zero, which makes them converge at the first convergence check, so each
 retry's cost is dominated by the still-failed lanes.  Everything is static
-shapes; the retry counter is the only dynamic state.  Uses the XLA min-sum
-engine (the damped update lives in ``min_sum_run``; the fused Pallas kernels
-stay undamped/exact).
+shapes; the retry counter is the only dynamic state.  The retries use the
+engine ``cfg.kernel`` selects: the fused Pallas min-sum kernel with the
+damping operand (bit-identical to ``min_sum_run(damping=...)``, with
+per-tile early exit — tiles whose lanes are all solved/masked quit at the
+first convergence check), or the XLA loop elsewhere.
 """
 
 from __future__ import annotations
@@ -73,19 +75,32 @@ def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
         damping = graph.expand_vars(gamma)
         # solved lanes: zero syndrome -> trivially converged at first check
         s_eff = jnp.where(solved[None, :], 0, syndrome)
-        v, iters = min_sum_run(graph, s_eff, prior_llr_p,
-                               max_iters=cfg.max_iters,
-                               check_every=cfg.check_every,
-                               conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
-                               damping=damping)
+        if cfg.kernel == "pallas":
+            from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas
+
+            v, per_col_iters = min_sum_run_pallas(
+                graph, s_eff, prior_llr_p,
+                max_iters=cfg.max_iters, check_every=cfg.check_every,
+                conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+                tile_batch=min(cfg.kernel_tile_batch, batch),
+                interpret=(jax.default_backend() == "cpu"),
+                damping=damping)
+            extra = jnp.sum(per_col_iters)
+        else:
+            v, iters = min_sum_run(graph, s_eff, prior_llr_p,
+                                   max_iters=cfg.max_iters,
+                                   check_every=cfg.check_every,
+                                   conv_low=cfg.conv_low,
+                                   alpha=cfg.min_sum_alpha,
+                                   damping=damping)
+            extra = iters * jnp.int32(batch)
         vv = graph.vn_view(graph.to_var(v))
         d_new = jnp.any(vv <= 0.0, axis=0).astype(decisions.dtype)
         s_hat = graph.syndrome(d_new.astype(jnp.int32))
         sat = ~jnp.any(s_hat != syndrome, axis=0)
         newly = sat & ~solved
         decisions = jnp.where(newly[None, :], d_new, decisions)
-        return (r + 1, decisions, solved | newly,
-                lane_iters + iters * jnp.int32(batch))
+        return (r + 1, decisions, solved | newly, lane_iters + extra)
 
     r_used, decisions, solved, lane_iters = jax.lax.while_loop(
         cond, body, (jnp.int32(0), decisions0, solved0, jnp.int32(0)))

@@ -13,6 +13,15 @@ exact arithmetic (mins, ±1 products, one normalization multiply), and the
 variable-node leave-one-out sums accumulate in the same prefix/suffix order
 as the XLA path, so messages are bit-identical (verified on real TPU and in
 interpret mode by tests/test_kernels.py).
+
+The optional ``damping`` operand (check-indexed per-edge memory coefficients,
+see ``min_sum.min_sum_run``) fuses the relay decoder's damped update
+``v = d*v_old + (1-d)*v_new`` into the kernel, so ensemble relay retries
+(decoder/relay.py) run at fused kernel speed.  The damped path matches the
+XLA damped loop to ~1 ulp per iteration (XLA fuses the blend's multiply-adds
+differently in the two surrounding graphs), which is immaterial to relay —
+every repair is accepted only after an exact syndrome re-encode; the
+UNDAMPED path remains bit-identical as before.
 """
 
 from __future__ import annotations
@@ -29,12 +38,17 @@ from qec_ldpc_tpu.decoder.min_sum import np_log_band
 
 
 def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
-                  band: float, alpha: float, blk: int):
+                  band: float, alpha: float, blk: int, damped: bool):
     B, L, P = graph.B, graph.L, graph.P
     NB = B * L
 
-    def kernel(prior_ref, syn_ref, v_out_ref, iters_ref,
-               v_ref, e_ref, sgn_ref, done_ref):
+    def kernel(*refs):
+        if damped:
+            (prior_ref, syn_ref, damp_ref, v_out_ref, iters_ref,
+             v_ref, e_ref, sgn_ref, done_ref, dmp_ref) = refs
+        else:
+            (prior_ref, syn_ref, v_out_ref, iters_ref,
+             v_ref, e_ref, sgn_ref, done_ref) = refs
         prior_llr = prior_ref[0]
         bt = syn_ref.shape[-1]
         rows_blk = jax.lax.broadcasted_iota(jnp.int32, (blk, bt), 0)
@@ -60,6 +74,13 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
         for b in range(B):
             sgn_ref[b * blk:b * blk + P, :] = (
                 1.0 - 2.0 * syn_ref[b * P:(b + 1) * P, :].astype(jnp.float32))
+
+        if damped:
+            # stage damping coefficients into the padded block layout
+            # (pads get 0: their values are never read by valid rows)
+            dmp_ref[:] = jnp.zeros((NB * blk, bt), jnp.float32)
+            for i in range(NB):
+                dmp_ref[i * blk:i * blk + P, :] = damp_ref[i * P:(i + 1) * P, :]
 
         # init: prior LLR on valid rows, 0 on pad rows
         rows = jax.lax.broadcasted_iota(jnp.int32, (NB * blk, bt), 0)
@@ -112,9 +133,13 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                     vv = prior_llr + (full if last else pre[b] + suf[b])
                     i = b * L + l
                     rolled = route(vv, P - int(graph.table[b, l]))
-                    if masked:
+                    if damped or masked:
                         old = v_ref[i * blk:(i + 1) * blk, :]
-                        rolled = jnp.where(done, old, rolled)
+                        if damped:
+                            d = dmp_ref[i * blk:(i + 1) * blk, :]
+                            rolled = d * old + (1.0 - d) * rolled
+                        if masked:
+                            rolled = jnp.where(done, old, rolled)
                     v_ref[i * blk:(i + 1) * blk, :] = rolled
 
         def not_converged():
@@ -182,12 +207,17 @@ def min_sum_run_pallas(
     alpha: float = 0.75,
     tile_batch: int = 128,
     interpret: bool = False,
+    damping: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Drop-in fused-kernel equivalent of min_sum.min_sum_run.
 
     Returns (v_final LLRs (num_edges, batch), iters (batch,)): iters is the
     per-tile executed iteration count (each batch tile early-exits
     independently when all its lanes converge).
+
+    ``damping``: optional check-indexed (num_edges, batch) f32 memory
+    coefficients — the fused image of ``min_sum_run(damping=...)``,
+    bit-identical to it (relay decoder engine).
     """
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:
@@ -196,36 +226,49 @@ def min_sum_run_pallas(
     B, L, P = graph.B, graph.L, graph.P
     E_rows = graph.num_edges
     blk = -(-P // 8) * 8
+    damped = damping is not None
 
     band = float(np_log_band(conv_low))
-    kernel = _build_kernel(graph, max_iters, check_every, band, alpha, blk)
+    kernel = _build_kernel(graph, max_iters, check_every, band, alpha, blk,
+                           damped)
     prior_f = jnp.asarray(prior, jnp.float32)
     prior_llr = jnp.reshape(jnp.log1p(-prior_f) - jnp.log(prior_f), (1,))
 
-    scratch_bytes = (2 * B * L * blk + B * blk + 8) * tile_batch * 4
-    io_bytes = 2 * (E_rows + num_checks + 64) * tile_batch * 4
+    n_scratch_blocks = 3 if damped else 2  # V, E [, damping] padded tensors
+    scratch_bytes = (n_scratch_blocks * B * L * blk + B * blk + 8) * tile_batch * 4
+    io_bytes = (2 + damped) * (E_rows + num_checks + 64) * tile_batch * 4
     vmem_limit = min(110 * 1024 * 1024, scratch_bytes + io_bytes + (16 << 20))
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((num_checks, tile_batch), lambda t: (0, t),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [prior_llr, syndrome.astype(jnp.int32)]
+    scratch_shapes = [
+        pltpu.VMEM((B * L * blk, tile_batch), jnp.float32),  # V messages
+        pltpu.VMEM((B * L * blk, tile_batch), jnp.float32),  # E messages
+        pltpu.VMEM((B * blk, tile_batch), jnp.float32),      # syndrome sign
+        pltpu.VMEM((8, tile_batch), jnp.float32),            # done mask
+    ]
+    if damped:
+        in_specs.append(pl.BlockSpec((E_rows, tile_batch), lambda t: (0, t),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(damping.astype(jnp.float32))
+        scratch_shapes.append(
+            pltpu.VMEM((B * L * blk, tile_batch), jnp.float32))  # padded damping
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((num_checks, tile_batch), lambda t: (0, t),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((E_rows, tile_batch), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_batch), lambda t: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((B * L * blk, tile_batch), jnp.float32),  # V messages
-            pltpu.VMEM((B * L * blk, tile_batch), jnp.float32),  # E messages
-            pltpu.VMEM((B * blk, tile_batch), jnp.float32),      # syndrome sign
-            pltpu.VMEM((8, tile_batch), jnp.float32),            # done mask
-        ],
+        scratch_shapes=scratch_shapes,
     )
     v_final, iters = pl.pallas_call(
         kernel,
@@ -236,5 +279,5 @@ def min_sum_run_pallas(
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
-    )(prior_llr, syndrome.astype(jnp.int32))
+    )(*inputs)
     return v_final, iters[0]

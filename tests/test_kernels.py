@@ -151,6 +151,39 @@ def test_decode_batch_min_sum_kernel_option(small_code, small_graphs):
 
 
 # ---------------------------------------------------------------------------
+# Damped min-sum (relay engine): Pallas kernel vs XLA, bit-identical
+# ---------------------------------------------------------------------------
+
+
+def test_min_sum_kernel_damped_matches_xla(small_code, small_graphs):
+    from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+    from qec_ldpc_tpu.kernels.min_sum_pallas import min_sum_run_pallas
+
+    code, graphs = small_code, small_graphs
+    g = graphs.x
+    batch = 32
+    xe, _ = sample_weight_w_errors(jax.random.PRNGKey(3), code.n, 4, batch)
+    syn = g.syndrome(xe.astype(jnp.int32))
+    prior = jnp.float32(2 / 3 * 0.02)
+    gamma = jax.random.uniform(jax.random.PRNGKey(9), (code.n, batch),
+                               jnp.float32, 0.2, 0.95)
+    damping = g.expand_vars(gamma)
+    v_x, it_x = min_sum_run(g, syn, prior, max_iters=25, damping=damping)
+    v_p, it_p = min_sum_run_pallas(g, syn, prior, max_iters=25,
+                                   tile_batch=8, interpret=True,
+                                   damping=damping)
+    # the damped blend d*old + (1-d)*new is FMA-fused differently by XLA in
+    # the two surrounding graphs -> ~1 ulp per iteration; undamped stays
+    # bit-identical (test_min_sum_kernel_* above).  Tight tolerance, not
+    # equality:
+    np.testing.assert_allclose(np.asarray(v_x), np.asarray(v_p),
+                               rtol=1e-5, atol=1e-4)
+    # per-tile iters can only differ by early exit granularity; with one
+    # global loop the XLA count upper-bounds every tile
+    assert (np.asarray(it_p) <= int(it_x)).all()
+
+
+# ---------------------------------------------------------------------------
 # Syndrome-weight lane sorting (decode._lane_sort): bit-identical results
 # ---------------------------------------------------------------------------
 
