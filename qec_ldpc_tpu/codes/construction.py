@@ -176,7 +176,8 @@ def check_css_orthogonal(hc: np.ndarray, hd: np.ndarray, P: int) -> bool:
 
 
 def find_code_params(J: int, K: int, L: int, P: int,
-                     count: int = 1) -> list[tuple[int, int]]:
+                     count: int = 1,
+                     require_girth6: bool = False) -> list[tuple[int, int]]:
     """Search (sigma, tau) producing a valid CSS code for (J, K, L, P).
 
     The Hagiwara–Imai construction is CSS-orthogonal exactly when sigma has
@@ -186,8 +187,13 @@ def find_code_params(J: int, K: int, L: int, P: int,
     sigma).  This searches sigma of order L/2 and filters each (sigma, tau)
     through :func:`check_css_orthogonal`, enabling construction of larger
     lifted codes (e.g. ``find_code_params(4, 5, 10, 131)`` -> (53, 1)) for
-    scaling studies.  Returns up to ``count`` (sigma, tau) pairs in ascending
-    order; raises if L is odd or no generator of order L/2 exists mod P.
+    scaling studies.  ``require_girth6`` additionally rejects candidates
+    whose X or Z Tanner graph has 4-cycles (the cheap exponent-table test of
+    codes/analysis.py — BP quality degrades visibly on girth-4 graphs; the
+    reference claims girth >= 6 for its construction, QEC_LDPC_CSS.cu:
+    161-164, and both shipped codes satisfy it).  Returns up to ``count``
+    (sigma, tau) pairs in ascending order; raises if L is odd or no
+    generator of order L/2 exists mod P.
     """
     if L % 2 != 0:
         raise ValueError(f"L={L} must be even (construction splits at L/2)")
@@ -202,8 +208,14 @@ def find_code_params(J: int, K: int, L: int, P: int,
     for s in sigmas:
         for t in range(1, P):
             hc, hd = build_exponent_tables(J, K, L, P, s, t)
-            if check_css_orthogonal(hc, hd, P):
-                found.append((s, t))
-                if len(found) >= count:
-                    return found
+            if not check_css_orthogonal(hc, hd, P):
+                continue
+            if require_girth6:
+                from qec_ldpc_tpu.codes.analysis import qc_has_4cycles
+
+                if qc_has_4cycles(hc, P) or qc_has_4cycles(hd, P):
+                    continue
+            found.append((s, t))
+            if len(found) >= count:
+                return found
     return found

@@ -42,6 +42,17 @@ def test_qc_4cycle_condition_matches_bfs():
     assert found[True] and found[False], "want both outcomes exercised"
 
 
+def test_find_code_params_girth_filter():
+    from qec_ldpc_tpu.codes.construction import find_code_params
+
+    pairs = find_code_params(4, 5, 10, 61, count=3, require_girth6=True)
+    assert pairs, "girth-6 candidates must exist for the reference params"
+    for s, t in pairs:
+        code = q.construct_code(4, 5, 10, 61, s, t)
+        assert not qc_has_4cycles(code.hc, 61)
+        assert not qc_has_4cycles(code.hd, 61)
+
+
 @pytest.mark.parametrize("params", [(3, 3, 6, 7, 2, 3), (4, 5, 10, 61, 9, 49)])
 def test_reference_codes_have_girth_6(params):
     """The reference's construction claim, verified on both shipped codes:
