@@ -29,9 +29,11 @@ zero, which makes them converge at the first convergence check, so each
 retry's cost is dominated by the still-failed lanes.  Everything is static
 shapes; the retry counter is the only dynamic state.  The retries use the
 engine ``cfg.kernel`` selects: the fused Pallas min-sum kernel with the
-damping operand (bit-identical to ``min_sum_run(damping=...)``, with
-per-tile early exit — tiles whose lanes are all solved/masked quit at the
-first convergence check), or the XLA loop elsewhere.
+damping operand (matches ``min_sum_run(damping=...)`` to ~1 ulp/iteration —
+NOT bit-identical, so repair trajectories CAN differ between engines; every
+repair is gated by an exact syndrome re-encode either way — with per-tile
+early exit: tiles whose lanes are all solved/masked quit at the first
+convergence check), or the XLA loop elsewhere.
 """
 
 from __future__ import annotations

@@ -216,8 +216,9 @@ def min_sum_run_pallas(
     independently when all its lanes converge).
 
     ``damping``: optional check-indexed (num_edges, batch) f32 memory
-    coefficients — the fused image of ``min_sum_run(damping=...)``,
-    bit-identical to it (relay decoder engine).
+    coefficients — the fused image of ``min_sum_run(damping=...)``, matching
+    it to ~1 ulp per iteration (NOT bit-identical: FMA fusion of the blend
+    differs — see the module docstring); the relay decoder engine.
     """
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:

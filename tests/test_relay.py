@@ -115,6 +115,33 @@ def test_run_monte_carlo_relay_modes(graphs):
     assert both[C_CORRECTED] >= relay_only[C_CORRECTED]
 
 
+def test_relay_pallas_engine(graphs, hard_syndromes):
+    """cfg.kernel='pallas' routes relay retries through the fused damped
+    kernel (interpret mode on CPU): repairs reduce failures, every repair
+    satisfies its syndrome, and per-tile iteration accounting accumulates."""
+    sx, sz = hard_syndromes
+    cfg = BPConfig(max_iters=20, kernel="pallas", algorithm="min-sum",
+                   kernel_tile_batch=8)
+    base = decode_batch(graphs, sx, sz, 0.02, cfg)
+    ec0 = np.asarray(base.error_code)
+    failed0 = np.count_nonzero(ec0 & (SYNDROME_FAIL_X | SYNDROME_FAIL_Z))
+    assert failed0 > 0
+
+    res, rx, rz = relay_decode_batch(graphs, sx, sz, 0.02,
+                                     jax.random.PRNGKey(7), cfg, retries=16)
+    ec = np.asarray(res.error_code)
+    failed = np.count_nonzero(ec & (SYNDROME_FAIL_X | SYNDROME_FAIL_Z))
+    assert failed < failed0 / 2, (failed0, failed)
+    # the SYNDROME_FAIL flags remain exact re-encode statements
+    dx = np.asarray(res.decisions_x)
+    s_hat = np.asarray(graphs.x.syndrome(jnp.asarray(dx, jnp.int32)))
+    mism = (s_hat != np.asarray(sx)).any(axis=0)
+    assert np.array_equal(mism, (ec & SYNDROME_FAIL_X) != 0)
+    # retry work accumulated into the honest iteration counters
+    assert int(res.iter_samples_x) > int(base.iter_samples_x)
+    assert int(rx) > 0 and int(rx) <= 16 and int(rz) <= 16
+
+
 def test_relay_counts_retry_iterations(graphs, hard_syndromes):
     """Honest work accounting: retry iterations are added to
     iter_samples_x/z (regression: relay used to report only the primary
