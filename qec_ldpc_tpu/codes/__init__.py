@@ -8,12 +8,20 @@ from qec_ldpc_tpu.codes.construction import (
     gf2_rref,
     multiplicative_order,
 )
+from qec_ldpc_tpu.codes.bicycle import (
+    BicycleCode,
+    bicycle_code,
+    known_bicycle_code,
+)
 from qec_ldpc_tpu.codes.analysis import girth_report, qc_has_4cycles, tanner_girth
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode, construct_code, exponents_from_pcm
 from qec_ldpc_tpu.codes.loader import load_code_file, save_code_file
 
 __all__ = [
     "QuantumLDPCCode",
+    "BicycleCode",
+    "bicycle_code",
+    "known_bicycle_code",
     "construct_code",
     "load_code_file",
     "save_code_file",

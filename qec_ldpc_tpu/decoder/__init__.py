@@ -11,6 +11,7 @@ from qec_ldpc_tpu.decoder.decode import (
 )
 from qec_ldpc_tpu.decoder.layered import layered_min_sum_run
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
+from qec_ldpc_tpu.decoder.lifted import LiftedGraph
 from qec_ldpc_tpu.decoder.min_sum import min_sum_run
 from qec_ldpc_tpu.decoder.osd import CSSPostprocessor, OSDecoder
 from qec_ldpc_tpu.decoder.relay import relay_decode_batch
@@ -30,6 +31,7 @@ __all__ = [
     "min_sum_run",
     "layered_min_sum_run",
     "CirculantGraph",
+    "LiftedGraph",
     "CodeGraphs",
     "DecodeResult",
     "decode_batch",

@@ -57,6 +57,17 @@ class CirculantGraph:
         return CirculantGraph(B=B, L=L, P=P, table=table)
 
     @property
+    def check_degree(self) -> int:
+        """Edges per check = block columns (generic-layout name; the lifted
+        generalization in decoder/lifted.py shares this interface)."""
+        return self.L
+
+    @property
+    def var_degree(self) -> int:
+        """Edges per variable = block rows."""
+        return self.B
+
+    @property
     def num_checks(self) -> int:
         return self.B * self.P
 

@@ -83,11 +83,11 @@ def cn_update_min_sum(
     """Normalized-min-sum check-node update; v, result check-indexed
     (num_edges, batch) LLRs.  syndrome_sign: per-edge +-1 rows."""
     t = graph.cn_view(v)                       # (B, L, P*batch)
-    mags = [jnp.abs(t[:, i]) for i in range(graph.L)]
-    sgns = [jnp.where(t[:, i] < 0, -1.0, 1.0) for i in range(graph.L)]
+    mags = [jnp.abs(t[:, i]) for i in range(graph.check_degree)]
+    sgns = [jnp.where(t[:, i] < 0, -1.0, 1.0) for i in range(graph.check_degree)]
     loo_min = _loo_mins(mags)
     loo_sgn = _loo_sign_products(sgns)
-    e = jnp.stack([alpha * loo_sgn[i] * loo_min[i] for i in range(graph.L)],
+    e = jnp.stack([alpha * loo_sgn[i] * loo_min[i] for i in range(graph.check_degree)],
                   axis=1).reshape(v.shape)
     return syndrome_sign * e
 
@@ -99,7 +99,7 @@ def vn_update_llr(
     """LLR variable-node update: leave-one-out sums plus the channel prior;
     the last iteration forms full posteriors (DecoderCPU.h:216 semantics)."""
     ev = graph.vn_view(graph.to_var(e))        # (B, L*P, batch) var-indexed
-    terms = [ev[i] for i in range(graph.B)]
+    terms = [ev[i] for i in range(graph.var_degree)]
     loo = _loo_sums(terms)
     full = loo[-1] + terms[-1]
     sums = jnp.stack([jnp.where(last, full, s) for s in loo])

@@ -122,7 +122,7 @@ def cn_update(graph: CirculantGraph, v: jnp.ndarray, syndrome_sign_half: jnp.nda
     sequence is identical to the Pallas kernel's.
     """
     t = graph.cn_view(1.0 - 2.0 * v)          # (B, L, P*batch)
-    loo = _loo_products([t[:, i] for i in range(graph.L)])
+    loo = _loo_products([t[:, i] for i in range(graph.check_degree)])
     prod = jnp.stack(loo, axis=1).reshape(v.shape)
     return 0.5 - syndrome_sign_half * prod
 
@@ -136,8 +136,8 @@ def vn_update(
     included, forming the posterior (DecoderCPU.h:216 ``if (j == k && !last)``).
     """
     ev = graph.vn_view(graph.to_var(e))       # (B, L*P, batch), var-indexed
-    terms_p = [ev[i] for i in range(graph.B)]
-    terms_m = [1.0 - ev[i] for i in range(graph.B)]
+    terms_p = [ev[i] for i in range(graph.var_degree)]
+    terms_m = [1.0 - ev[i] for i in range(graph.var_degree)]
     loo_p = _loo_products(terms_p)
     loo_m = _loo_products(terms_m)
     # full product in ascending-index association order (== loo of the last

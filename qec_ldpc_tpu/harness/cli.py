@@ -23,7 +23,12 @@ import time
 
 import jax
 
-from qec_ldpc_tpu.codes import construct_code, load_code_file
+from qec_ldpc_tpu.codes import (
+    bicycle_code,
+    construct_code,
+    known_bicycle_code,
+    load_code_file,
+)
 from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
 from qec_ldpc_tpu.harness import debug
 from qec_ldpc_tpu.harness.config import RunConfig, format_result_filename, load_init_file
@@ -46,10 +51,43 @@ def _log(fh, msg: str) -> None:
 
 def enable_persistent_compile_cache(path: str = "/tmp/jax_cache") -> None:
     """Persistent XLA compile cache: remote/tunneled TPU compiles cost tens of
-    seconds to minutes and have high variance; caching makes reruns instant."""
+    seconds to minutes and have high variance; caching makes reruns instant.
+
+    CPU backend: skipped.  CPU compiles are fast, and serializing large CPU
+    executables for the cache has been observed to SEGFAULT inside XLA's
+    executable serializer (checkify-instrumented while_loop programs under
+    the 8-virtual-device test mesh) — the cache write path, not our code."""
+    if jax.default_backend() == "cpu":
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def load_code_and_graphs(spec: str):
+    """Resolve a codeFile spec to (code, graphs).  Three forms:
+
+    * a path to a reference-format code file (``Quantum_LDPC_Code.h:43-74``);
+    * ``qc:J,K,L,P,sigma,tau`` — programmatic Hagiwara–Imai construction
+      (``QEC_LDPC_CSS.cu:26-131``);
+    * ``bb:[[144,12,12]]`` (published instance) or
+      ``bb:l=12,m=6,A=x3+y+y2,B=y3+x+x2`` — bivariate bicycle codes
+      (codes/bicycle.py) on lifted graphs.
+    """
+    if spec.startswith("bb:"):
+        body = spec[3:]
+        if body.startswith("[["):
+            code = known_bicycle_code(body)
+        else:
+            kv = dict(t.split("=", 1) for t in body.split(","))
+            code = bicycle_code(int(kv["l"]), int(kv["m"]), kv["A"], kv["B"])
+        return code, code.build_graphs()
+    if spec.startswith("qc:"):
+        vals = [int(x) for x in spec[3:].replace(",", " ").split()]
+        code = construct_code(*vals)
+        return code, CodeGraphs.build(code)
+    code = load_code_file(spec)
+    return code, CodeGraphs.build(code)
 
 
 def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
@@ -59,8 +97,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     log = open(cfg.log_file, "a")  # append-mode run log (main.cu:45-52)
     log.write("\n" + datetime.datetime.now().ctime() + "\n")
 
-    code = load_code_file(cfg.code_file)
-    graphs = CodeGraphs.build(code)
+    code, graphs = load_code_and_graphs(cfg.code_file)
     bp_cfg = cfg.bp_config()
     seed = cfg.seed if cfg.seed is not None else random.SystemRandom().getrandbits(32)
 

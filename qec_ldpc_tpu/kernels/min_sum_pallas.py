@@ -220,6 +220,17 @@ def min_sum_run_pallas(
     it to ~1 ulp per iteration (NOT bit-identical: FMA fusion of the blend
     differs — see the module docstring); the relay decoder engine.
     """
+    if not isinstance(graph, CirculantGraph):
+        # lifted graphs (sums of monomials / product groups, e.g. bivariate
+        # bicycle codes) route to the generalized kernel — same contract
+        from qec_ldpc_tpu.kernels.lifted_min_sum_pallas import (
+            lifted_min_sum_run_pallas,
+        )
+
+        return lifted_min_sum_run_pallas(
+            graph, syndrome, prior, max_iters, check_every=check_every,
+            conv_low=conv_low, alpha=alpha, tile_batch=tile_batch,
+            interpret=interpret, damping=damping)
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:
         raise ValueError(f"batch {batch} not divisible by tile_batch {tile_batch}")

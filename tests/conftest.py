@@ -26,6 +26,18 @@ import pytest
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA's CPU backend has segfaulted inside backend_compile_and_load /
+    executable serialization after ~130 tests' worth of accumulated compiled
+    programs (observed twice at different suite positions, never in any
+    subset run).  Dropping executable references between modules keeps the
+    live-compilation footprint bounded; reruns within a module still hit the
+    in-memory cache."""
+    yield
+    jax.clear_caches()
+
+
 REFERENCE = pathlib.Path("/root/reference")
 SMALL_CODE_FILE = REFERENCE / "J_3_K_3_L_6_P_7_s_2_t_3.txt"
 CODE610_FILE = REFERENCE / "QEC_LDPC" / "code610.txt"
