@@ -151,6 +151,35 @@ def main() -> int:
     assert int(min_it) == max_iters * batch
 
     iter_samples_per_s = chunks * batch * max_iters / best_fw
+
+    # ---- secondary: bivariate bicycle gross code (beyond-reference family) --
+    # [[144,12,12]] (codes/bicycle.py) decoded with flooding min-sum on the
+    # fused lifted-graph Pallas kernel, depolarizing p=0.01, early exit —
+    # no reference analog exists, so no parity claim; the gate is a loose
+    # sanity bound on the corrected fraction (measured ~0.999 at this p)
+    from qec_ldpc_tpu.codes import known_bicycle_code
+
+    bb = known_bicycle_code("[[144,12,12]]")
+    bb_graphs = bb.build_graphs()
+    bb_cfg = BPConfig(max_iters=max_iters, algorithm="min-sum",
+                      kernel="pallas", kernel_tile_batch=256)
+    bb_count = 64 * batch
+
+    def bb_run():
+        return run_monte_carlo(bb_graphs, 0, bb_count, 0.01, bb_cfg, seed=1,
+                               batch_size=batch, error_model="depolarizing",
+                               steps_per_call=16)
+
+    bb_counters, _ = bb_run()  # compile + warm up
+    best_bb = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        bb_counters, _ = bb_run()
+        best_bb = min(best_bb, time.perf_counter() - t0)
+    bb_corrected = bb_counters[3] / bb_counters[0]
+    assert bb_corrected > 0.99, bb_corrected
+    bb_samples_per_s = int(bb_counters[0]) / best_bb
+
     result = {
         "metric": "samples_per_s_per_chip_reference_headline_workload",
         "value": round(samples_per_s, 1),
@@ -170,6 +199,8 @@ def main() -> int:
             iter_samples_per_s, 1),
         "fixed_work_vs_baseline": round(
             iter_samples_per_s / BASELINE_ITER_SAMPLES_PER_S, 2),
+        "bicycle_gross_samples_per_s": round(bb_samples_per_s, 1),
+        "bicycle_gross_corrected_fraction": round(float(bb_corrected), 5),
     }
     print(json.dumps(result))
     return 0

@@ -73,6 +73,30 @@ class QuantumLDPCCode:
             return self._i_minus_p
         return construction.build_i_minus_p(self.pcm_x, self.pcm_z)
 
+    @cached_property
+    def i_minus_p_physical(self) -> np.ndarray:
+        """Physically-correct logical-test matrix diag(ann(pcm_z), ann(pcm_x)).
+
+        The reference's file-shipped ``iMinusP`` (reproduced by
+        :attr:`i_minus_p`) annihilates the DETECTING matrix of each sector:
+        a residual x-error counts as harmless iff it lies in
+        rowspace(pcm_x).  Physically, x-errors are detected by Z-type
+        stabilizers (pcm_x) but are stabilizer-equivalent iff they lie in the
+        rowspace of the X-TYPE stabilizers — the opposite matrix, pcm_z.
+        Verified on both shipped codes: a row of pcm_z (a genuine X-type
+        stabilizer, zero x-syndrome) is classified LOGICAL by the reference
+        convention and harmless by this one — i.e. the reference OVERCOUNTS
+        logical errors.  Kept non-default for golden-corpus parity; select
+        with ``logical_test=physical`` in the harness (codes/bicycle.py uses
+        the physical convention unconditionally)."""
+        ax = construction.gf2_annihilator(self.pcm_z)
+        az = construction.gf2_annihilator(self.pcm_x)
+        n = self.n
+        imp = np.zeros((2 * n, 2 * n), dtype=np.uint8)
+        imp[:n, :n] = ax
+        imp[n:, n:] = az
+        return imp
+
     # -- reference-compatible math (NumPy; jnp versions live in decoder/) --
 
     def syndrome_x(self, errors: np.ndarray) -> np.ndarray:

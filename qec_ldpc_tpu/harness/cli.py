@@ -98,6 +98,13 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     log.write("\n" + datetime.datetime.now().ctime() + "\n")
 
     code, graphs = load_code_and_graphs(cfg.code_file)
+    if cfg.logical_test == "physical":
+        # BB codes are physical-convention already (no i_minus_p_physical)
+        i_minus_p = getattr(code, "i_minus_p_physical", code.i_minus_p)
+    elif cfg.logical_test == "reference":
+        i_minus_p = code.i_minus_p
+    else:
+        raise ValueError(f"unknown logical_test {cfg.logical_test!r}")
     bp_cfg = cfg.bp_config()
     seed = cfg.seed if cfg.seed is not None else random.SystemRandom().getrandbits(32)
 
@@ -149,7 +156,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                     graphs, w, cfg.count, p, bp_cfg, seed + i,
                     batch_size=cfg.batch_size, lam=cfg.osd,
                     error_model=cfg.error_model, progress=None,
-                    relay_retries=cfg.relay,
+                    relay_retries=cfg.relay, i_minus_p=i_minus_p,
                 )
             else:
                 # standard path; relay (if any) stays pure-device, so mesh
@@ -161,7 +168,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                     progress=on_chunk, start_chunk=start_chunk,
                     init_counters=init_counters,
                     steps_per_call=cfg.steps_per_call,
-                    relay_retries=cfg.relay,
+                    relay_retries=cfg.relay, i_minus_p=i_minus_p,
                 )
             duration_us = int((time.perf_counter() - t0) * 1e6)
 

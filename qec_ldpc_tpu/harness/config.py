@@ -46,6 +46,13 @@ class RunConfig:
     #: Quality mode — runs chunk-at-a-time with host round-trips.  Pairs
     #: best with an LLR-domain algorithm (min-sum / layered-min-sum).
     osd: int = -1
+    #: logical-error test convention: "reference" reproduces the shipped
+    #: iMinusP semantics (residual harmless iff in the rowspace of the
+    #: DETECTING matrix — required for golden-corpus parity); "physical"
+    #: uses the CSS-correct convention (rowspace of the same-Pauli-type
+    #: stabilizers, codes/css.py i_minus_p_physical).  The reference
+    #: convention overcounts logical errors (it counts genuine stabilizers).
+    logical_test: str = "reference"
     #: on-device ensemble relay repairs of BP failures (decoder/relay.py):
     #: number of randomized damped min-sum retries (0 = off).  Composable
     #: with osd (relay first, OSD mops up).

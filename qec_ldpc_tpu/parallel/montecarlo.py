@@ -204,6 +204,7 @@ def run_monte_carlo_osd(
     error_model: str = "weight",
     progress: "callable | None" = None,
     relay_retries: int = 0,
+    i_minus_p=None,
 ):
     """Monte-Carlo statistics with repair of BP failures (the QUALITY mode).
 
@@ -238,6 +239,8 @@ def run_monte_carlo_osd(
     else:
         post = None
     consts = kernel_consts(graphs, cfg)
+    if i_minus_p is None:
+        i_minus_p = graphs.code.i_minus_p
     key = jax.random.PRNGKey(seed)
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     total_iters = 0
@@ -253,7 +256,7 @@ def run_monte_carlo_osd(
             dx, dz, ec = (np.asarray(res.decisions_x),
                           np.asarray(res.decisions_z),
                           np.asarray(res.error_code))
-        counters = classify_batch_np(graphs.code.i_minus_p, np.asarray(xe),
+        counters = classify_batch_np(i_minus_p, np.asarray(xe),
                                      np.asarray(ze), dx, dz, ec)
         chunk_iters = int(res.iter_samples_x) + int(res.iter_samples_z)
         totals += counters
@@ -278,6 +281,7 @@ def run_monte_carlo(
     init_counters: np.ndarray | None = None,
     steps_per_call: int = 1,
     relay_retries: int = 0,
+    i_minus_p=None,
 ):
     """Accumulate statistics counters over ``count`` samples.
 
@@ -299,7 +303,8 @@ def run_monte_carlo(
     Returns (counters[NUM_COUNTERS], total_bp_iters) where total_bp_iters
     counts executed BP lane-iterations (X + Z) across all samples.
     """
-    i_minus_p = jnp.asarray(graphs.code.i_minus_p)
+    i_minus_p = jnp.asarray(graphs.code.i_minus_p if i_minus_p is None
+                            else i_minus_p)
     key = jax.random.PRNGKey(seed)
     if mesh is not None:
         num_data = mesh.shape[DATA_AXIS]

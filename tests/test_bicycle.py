@@ -194,6 +194,23 @@ def test_bicycle_decode_pallas_equals_xla(gross, gross_graphs):
     assert np.array_equal(np.asarray(rx.error_code), np.asarray(rp.error_code))
 
 
+# -- harness integration -------------------------------------------------------
+
+def test_cli_code_specs():
+    from qec_ldpc_tpu.harness.cli import load_code_and_graphs
+
+    code, graphs = load_code_and_graphs("bb:[[72,12,6]]")
+    assert code.n == 72 and code.k_logical == 12
+    assert graphs.x.num_checks == 36
+
+    code2, _ = load_code_and_graphs("bb:l=6,m=6,A=x3+y+y2,B=y3+x+x2")
+    assert str(code2) == str(code)
+
+    code3, graphs3 = load_code_and_graphs("qc:3,3,6,7,2,3")
+    assert code3.n == 42
+    assert graphs3.x.num_checks == 21
+
+
 # -- repair stack on a BB code -------------------------------------------------
 
 def test_bicycle_osd_repairs_failures(gross, gross_graphs):

@@ -174,3 +174,25 @@ def test_check_css_orthogonal_matches_dense_product(rng):
         hits += bool(want)
     # sanity: the random sample should contain non-orthogonal cases
     assert hits < 30
+
+
+def test_physical_logical_convention(small_code):
+    """i_minus_p_physical classifies genuine same-type stabilizers as
+    harmless; the reference convention (file-shipped iMinusP) counts them as
+    logical errors — the documented overcount (codes/css.py)."""
+    import numpy as np
+
+    n = small_code.n
+    # an X-type stabilizer (row of pcm_z) as a residual x-error: zero
+    # x-syndrome, physically harmless
+    row = small_code.pcm_z[0]
+    doubled = np.concatenate([row, np.zeros(n, dtype=row.dtype)])
+    assert not (small_code.syndrome_x(row) % 2).any()
+    imp_phy = small_code.i_minus_p_physical.astype(np.int64)
+    imp_ref = small_code.i_minus_p.astype(np.int64)
+    assert not (imp_phy @ doubled % 2).any()      # physical: harmless
+    assert (imp_ref @ doubled % 2).any()          # reference: "logical"
+    # both conventions are annihilators of their respective rowspaces
+    rowx = small_code.pcm_x[0]
+    dx = np.concatenate([rowx, np.zeros(n, dtype=rowx.dtype)])
+    assert not (imp_ref @ dx % 2).any()

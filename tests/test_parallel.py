@@ -95,3 +95,25 @@ def test_steps_per_call_identical_statistics(small_graphs):
             cfg=cfg, seed=21, batch_size=128, mesh=mesh, steps_per_call=3)
         np.testing.assert_array_equal(one, scanned)
         assert it_one == it_scan
+
+
+def test_logical_test_override(small_graphs):
+    """run_monte_carlo with the physical i_minus_p never reports MORE logical
+    errors than the reference convention on the same seed (the reference
+    convention counts genuine stabilizers as logical)."""
+    import numpy as np
+
+    from qec_ldpc_tpu.decoder import BPConfig
+    from qec_ldpc_tpu.parallel.montecarlo import run_monte_carlo
+
+    cfg = BPConfig(max_iters=30)
+    kw = dict(weight=4, count=256, error_probability=0.02, cfg=cfg, seed=9,
+              batch_size=64)
+    ref, _ = run_monte_carlo(small_graphs, **kw)
+    phy, _ = run_monte_carlo(
+        small_graphs, i_minus_p=small_graphs.code.i_minus_p_physical, **kw)
+    ref, phy = np.asarray(ref), np.asarray(phy)
+    assert ref[0] == phy[0]
+    assert np.array_equal(ref[4:6], phy[4:6])  # syndrome fails identical
+    assert phy[6] <= ref[6]                    # logical count can only drop
+    assert phy[3] >= ref[3]                    # corrected can only grow
