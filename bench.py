@@ -25,8 +25,9 @@ per sample exactly as the baseline derivation (887 samples/s x <=100 iters
 Methodology: chunks are scanned on device inside one dispatch — the tunneled
 TPU runtime costs ~30-70 ms per dispatch, which would otherwise dominate;
 production runs amortize identically (parallel/montecarlo.py steps_per_call).
-The early-exit run times 1 048 576 samples (10 dispatches) so the dispatch
-tax is <5%; parity counters come from the same run.
+The early-exit run times 1 048 576 samples in a single dispatch (the
+per-dispatch tax measured 25-70% of wall at the old 52-chunk grouping);
+parity counters come from the same run.
 """
 
 import json
@@ -69,8 +70,12 @@ def main() -> int:
     count = 512 * batch  # 1 048 576 samples: dispatch tax < 5%
 
     def ee_run():
+        # steps_per_call=512 -> ONE dispatch for the 1M samples: the tunneled
+        # runtime's per-dispatch tax measured 25-70% of wall at the round-1
+        # setting of 52 chunks/dispatch (the production CLI amortizes the
+        # same way, harness/config.py steps_per_call)
         return run_monte_carlo(graphs, weight, count, 0.01, ee_cfg, seed=1,
-                               batch_size=batch, steps_per_call=52)
+                               batch_size=batch, steps_per_call=512)
 
     counters, lane_iters = ee_run()  # compile + warm up
     best_ee = float("inf")
@@ -99,7 +104,7 @@ def main() -> int:
 
     def ly_run():
         return run_monte_carlo(graphs, weight, count, 0.01, ly_cfg, seed=1,
-                               batch_size=batch, steps_per_call=52)
+                               batch_size=batch, steps_per_call=512)
 
     ly_counters, _ = ly_run()  # compile + warm up
     best_ly = float("inf")
@@ -168,7 +173,7 @@ def main() -> int:
     def bb_run():
         return run_monte_carlo(bb_graphs, 0, bb_count, 0.01, bb_cfg, seed=1,
                                batch_size=batch, error_model="depolarizing",
-                               steps_per_call=16)
+                               steps_per_call=64)
 
     bb_counters, _ = bb_run()  # compile + warm up
     best_bb = float("inf")

@@ -11,7 +11,9 @@ from qec_ldpc_tpu.codes.construction import (
 from qec_ldpc_tpu.codes.bicycle import (
     BicycleCode,
     bicycle_code,
+    find_bicycle_codes,
     known_bicycle_code,
+    lifted_has_4cycles,
 )
 from qec_ldpc_tpu.codes.analysis import girth_report, qc_has_4cycles, tanner_girth
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode, construct_code, exponents_from_pcm
@@ -22,6 +24,8 @@ __all__ = [
     "BicycleCode",
     "bicycle_code",
     "known_bicycle_code",
+    "find_bicycle_codes",
+    "lifted_has_4cycles",
     "construct_code",
     "load_code_file",
     "save_code_file",

@@ -220,3 +220,85 @@ def known_bicycle_code(name: str) -> BicycleCode:
         raise KeyError(f"unknown BB code {name!r}; have {sorted(KNOWN_CODES)}")
     l, m, a, b = KNOWN_CODES[name]
     return bicycle_code(l, m, a, b)
+
+
+def lifted_has_4cycles(graph) -> bool:
+    """4-cycle test on a lifted graph's edge-block structure, O(E^2).
+
+    Checks (c1, r1) != (c2, r2) share the variable reached through edge
+    block ``e`` of c1 iff some edge block ``f`` of c2 in the same var column
+    satisfies r1 - r2 = shift_f - shift_e; for a fixed difference d the
+    number of distinct shared variables equals the number of distinct ``e``
+    with a match, so a 4-cycle exists iff two such ``e`` collide on one d
+    (the lifted generalization of codes/analysis.qc_has_4cycles'
+    alternating-sum condition; cross-checked against the exact BFS girth in
+    tests)."""
+    from collections import defaultdict
+
+    C = graph.num_check_blocks
+    group = graph.group
+    zero = (0,) * len(group)
+    by_check: list[list[int]] = [[] for _ in range(C)]
+    for e, c in enumerate(graph.check_blocks):
+        by_check[c].append(e)
+    for c1 in range(C):
+        for c2 in range(C):
+            matches: dict[tuple[int, ...], set[int]] = defaultdict(set)
+            for e in by_check[c1]:
+                for f in by_check[c2]:
+                    if graph.var_blocks[f] != graph.var_blocks[e]:
+                        continue
+                    d = tuple((sf - se) % g for sf, se, g in
+                              zip(graph.shifts[f], graph.shifts[e], group))
+                    if c1 == c2 and d == zero:
+                        continue  # same check node
+                    matches[d].add(e)
+            if any(len(v) >= 2 for v in matches.values()):
+                return True
+    return False
+
+
+def find_bicycle_codes(
+    l: int,
+    m: int,
+    count: int = 1,
+    min_k: int = 2,
+    require_girth6: bool = True,
+    max_candidates: int | None = None,
+) -> list[BicycleCode]:
+    """Search BB(l, m) instances with k >= min_k (the analog of
+    construction.find_code_params for the bicycle family).
+
+    Enumerates the standard ansatz of arXiv:2308.07915 (all published
+    instances fit it up to symmetry): A = x^a + y^b + y^c with 0 < a < l,
+    0 < b < c < m, and B = y^d + x^e + x^f with 0 < d < m, 0 < e < f < l.
+    k is computed exactly by GF(2) rank (rank(H_X) = rank(H_Z) since the
+    blocks transpose into each other); ``require_girth6`` rejects Tanner
+    graphs with 4-cycles via :func:`lifted_has_4cycles`.  Candidates are
+    scanned in lexicographic order; ``max_candidates`` bounds the scan.
+    Sanity anchor: find_bicycle_codes(6, 6) recovers the published
+    [[72,12,6]] parameters among its hits (asserted in tests)."""
+    found: list[BicycleCode] = []
+    tried = 0
+    for a in range(1, l):
+        for b in range(1, m):
+            for c in range(b + 1, m):
+                for d in range(1, m):
+                    for e in range(1, l):
+                        for f in range(e + 1, l):
+                            if max_candidates is not None and tried >= max_candidates:
+                                return found
+                            tried += 1
+                            code = BicycleCode(
+                                l=l, m=m,
+                                a_terms=((a, 0), (0, b), (0, c)),
+                                b_terms=((0, d), (e, 0), (f, 0)))
+                            if code.k_logical < min_k:
+                                continue
+                            if require_girth6 and lifted_has_4cycles(
+                                    code.build_graphs().z):
+                                continue
+                            found.append(code)
+                            if len(found) >= count:
+                                return found
+    return found

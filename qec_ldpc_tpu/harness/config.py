@@ -39,8 +39,11 @@ class RunConfig:
     #: "pallas", or "xla"
     kernel: str = "auto"
     #: Monte-Carlo chunks scanned on device per dispatch (amortizes runtime
-    #: dispatch overhead; journal/resume granularity is one dispatch group)
-    steps_per_call: int = 8
+    #: dispatch overhead; journal/resume granularity is one dispatch group).
+    #: On the tunneled TPU runtime the per-dispatch tax measured ~30-70 ms —
+    #: 25-70% of wall at 8 chunks/dispatch on the headline workload — so the
+    #: default trades resume granularity (32 x batch samples) for throughput.
+    steps_per_call: int = 32
     #: OSD post-processing of BP failures (decoder/osd.py): -1 = off,
     #: 0 = OSD-0, >0 = combination sweep over that many non-pivot columns.
     #: Quality mode — runs chunk-at-a-time with host round-trips.  Pairs

@@ -257,3 +257,28 @@ def test_bicycle_relay_runs(gross, gross_graphs):
     sx_hat = np.asarray(gross_graphs.x.syndrome(res.decisions_x.astype(jnp.int32)))
     ok = ~(np.asarray(res.error_code) & 1).astype(bool)
     assert np.array_equal(sx_hat[:, ok], np.asarray(sx)[:, ok])
+
+
+# -- code search ----------------------------------------------------------------
+
+def test_lifted_4cycle_detector_matches_bfs_girth(gross_graphs):
+    from qec_ldpc_tpu.codes.analysis import tanner_girth
+    from qec_ldpc_tpu.codes.bicycle import bicycle_code, lifted_has_4cycles
+
+    assert not lifted_has_4cycles(gross_graphs.z)
+    assert tanner_girth(gross_graphs.z.dense_pcm(), cap=6) >= 6
+    bad = bicycle_code(6, 6, "x1 + x2 + y1", "y2 + x3 + x4").build_graphs().z
+    assert lifted_has_4cycles(bad)
+    assert tanner_girth(bad.dense_pcm(), cap=4) == 4
+
+
+def test_find_bicycle_codes_recovers_published():
+    """The BB(6,6) ansatz scan at min_k=12 finds the published [[72,12,6]]."""
+    from qec_ldpc_tpu.codes.bicycle import find_bicycle_codes
+
+    pub = known_bicycle_code("[[72,12,6]]")
+    hits = find_bicycle_codes(6, 6, count=200, min_k=12)
+    assert hits, "no k=12 girth-6 BB(6,6) codes found"
+    assert all(h.k_logical >= 12 for h in hits)
+    assert any(h.a_terms == pub.a_terms and h.b_terms == pub.b_terms
+               for h in hits)
