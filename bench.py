@@ -67,7 +67,7 @@ def main() -> int:
 
     # ---- headline: reference workload, early exit on (check every 10) ----
     ee_cfg = BPConfig(max_iters=max_iters, check_every=10, kernel="pallas")
-    count = 512 * batch  # 1 048 576 samples: dispatch tax < 5%
+    count = 512 * batch  # 1 048 576 samples, scanned in one dispatch below
 
     def ee_run():
         # steps_per_call=512 -> ONE dispatch for the 1M samples: the tunneled

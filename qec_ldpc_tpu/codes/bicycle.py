@@ -134,13 +134,7 @@ class BicycleCode:
         """Logical-test matrix diag(ann(H_X), ann(H_Z)) over the doubled
         [x; z] space: residual x-error harmless iff in rowspace(H_X),
         residual z-error harmless iff in rowspace(H_Z)."""
-        ax = construction.gf2_annihilator(self.hx_stab)
-        az = construction.gf2_annihilator(self.hz_stab)
-        n = self.n
-        imp = np.zeros((2 * n, 2 * n), dtype=np.uint8)
-        imp[:n, :n] = ax
-        imp[n:, n:] = az
-        return imp
+        return construction.build_i_minus_p(self.hx_stab, self.hz_stab)
 
     def check_logical_error(self, errors_2n: np.ndarray) -> np.ndarray:
         """True where the doubled residual [ex; ez] has a logical component
@@ -173,10 +167,17 @@ class BicycleCode:
 
 
 def _mono(spec: str) -> Monomial:
-    """'x3' -> (3, 0); 'y2' -> (0, 2); '1' -> (0, 0); 'x1y2' -> (1, 2)."""
+    """'x3' -> (3, 0); 'y2' -> (0, 2); '1' -> (0, 0); 'x1y2' -> (1, 2).
+
+    Strict: anything but 'x'/'y' heads or digit exponents raises, so a typo
+    in a polynomial spec fails loudly instead of silently building the
+    constant monomial (and therefore a different code)."""
     spec = spec.strip()
     if spec == "1":
         return (0, 0)
+    if not spec or spec[0] not in "xy":
+        raise ValueError(f"bad monomial {spec!r}: expected '1', 'x<i>', "
+                         f"'y<j>' or 'x<i>y<j>'")
     i = j = 0
     tok = ""
     var = None
@@ -187,8 +188,10 @@ def _mono(spec: str) -> Monomial:
             elif var == "y":
                 j = int(tok or 1)
             var, tok = ch, ""
-        else:
+        elif ch.isdigit():
             tok += ch
+        else:
+            raise ValueError(f"bad character {ch!r} in monomial {spec!r}")
     return (i, j)
 
 
@@ -269,15 +272,17 @@ def find_bicycle_codes(
     """Search BB(l, m) instances with k >= min_k (the analog of
     construction.find_code_params for the bicycle family).
 
-    Enumerates the standard ansatz of arXiv:2308.07915 (all published
-    instances fit it up to symmetry): A = x^a + y^b + y^c with 0 < a < l,
-    0 < b < c < m, and B = y^d + x^e + x^f with 0 < d < m, 0 < e < f < l.
-    k is computed exactly by GF(2) rank (rank(H_X) = rank(H_Z) since the
-    blocks transpose into each other); ``require_girth6`` rejects Tanner
-    graphs with 4-cycles via :func:`lifted_has_4cycles`.  Candidates are
-    scanned in lexicographic order; ``max_candidates`` bounds the scan.
-    Sanity anchor: find_bicycle_codes(6, 6) recovers the published
-    [[72,12,6]] parameters among its hits (asserted in tests)."""
+    Enumerates the common ansatz of arXiv:2308.07915: A = x^a + y^b + y^c
+    with 0 < a < l, 0 < b < c < m, and B = y^d + x^e + x^f with 0 < d < m,
+    0 < e < f < l.  Most published instances fit it (the exception in
+    KNOWN_CODES is [[90,8,10]], whose B = 1 + x^2 + x^7 carries a constant
+    term this scan does not enumerate).  ``require_girth6`` rejects Tanner
+    graphs with 4-cycles via :func:`lifted_has_4cycles` BEFORE the dense
+    GF(2)-rank k test (the 4-cycle test is O(E^2) on the edge blocks; the
+    rank is two lm x 2lm eliminations).  Candidates are scanned in
+    lexicographic order; ``max_candidates`` bounds the scan.  Sanity anchor:
+    find_bicycle_codes(6, 6) recovers the published [[72,12,6]] parameters
+    among its hits (asserted in tests)."""
     found: list[BicycleCode] = []
     tried = 0
     for a in range(1, l):
@@ -293,10 +298,13 @@ def find_bicycle_codes(
                                 l=l, m=m,
                                 a_terms=((a, 0), (0, b), (0, c)),
                                 b_terms=((0, d), (e, 0), (f, 0)))
-                            if code.k_logical < min_k:
-                                continue
+                            # cheap structural filter first: H_X has 4-cycles
+                            # iff H_Z does (AA^T + BB^T == A^TA + B^TB in the
+                            # commutative group algebra), so one graph suffices
                             if require_girth6 and lifted_has_4cycles(
                                     code.build_graphs().z):
+                                continue
+                            if code.k_logical < min_k:
                                 continue
                             found.append(code)
                             if len(found) >= count:

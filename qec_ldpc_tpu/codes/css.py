@@ -89,13 +89,7 @@ class QuantumLDPCCode:
         logical errors.  Kept non-default for golden-corpus parity; select
         with ``logical_test=physical`` in the harness (codes/bicycle.py uses
         the physical convention unconditionally)."""
-        ax = construction.gf2_annihilator(self.pcm_z)
-        az = construction.gf2_annihilator(self.pcm_x)
-        n = self.n
-        imp = np.zeros((2 * n, 2 * n), dtype=np.uint8)
-        imp[:n, :n] = ax
-        imp[n:, n:] = az
-        return imp
+        return construction.build_i_minus_p(self.pcm_z, self.pcm_x)
 
     # -- reference-compatible math (NumPy; jnp versions live in decoder/) --
 

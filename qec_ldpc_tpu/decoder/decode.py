@@ -94,7 +94,10 @@ def kernel_consts(graphs: CodeGraphs, cfg: BPConfig):
     the config doesn't use the kernel.
     """
     if (cfg.algorithm != "min-sum" and cfg.kernel == "pallas"
-            and cfg.kernel_roll_impl == "mxu"):
+            and cfg.kernel_roll_impl == "mxu"
+            and isinstance(graphs.x, CirculantGraph)):
+        # lifted graphs take the XLA fallback in _decode_one_graph and have
+        # no mxu roll operands
         from qec_ldpc_tpu.kernels.bp_pallas import roll_operand
 
         return {"x": jnp.asarray(roll_operand(graphs.x)),

@@ -118,12 +118,19 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     all_stats: list[CodeStatistics] = []
     with debug.trace(cfg.profile_dir or None):
         for i, (w, p) in enumerate(cfg.sweep_points()):
+            # the run_id must pin EVERYTHING a resumed continuation depends
+            # on: chunk sequencing (batch_size, steps_per_call — start_chunk
+            # counts dispatch groups) and counter semantics (logical_test);
+            # a mismatch must start fresh, never blend
             run_id = (f"{code}|COUNT={cfg.count}|MAX={cfg.max_iterations}"
-                      f"|p={p:g}|seed={seed}")
+                      f"|p={p:g}|seed={seed}|bs={cfg.batch_size}"
+                      f"|spc={cfg.steps_per_call}")
             if cfg.osd >= 0:
                 run_id += f"|osd={cfg.osd}"
             if cfg.relay > 0:
                 run_id += f"|relay={cfg.relay}"
+            if cfg.logical_test != "reference":
+                run_id += f"|lt={cfg.logical_test}"
             fname = format_result_filename(str(code), w, cfg.max_iterations, p)
             out_path = os.path.join(cfg.results_dir, fname)
             _log(log, out_path)

@@ -282,3 +282,24 @@ def test_find_bicycle_codes_recovers_published():
     assert all(h.k_logical >= 12 for h in hits)
     assert any(h.a_terms == pub.a_terms and h.b_terms == pub.b_terms
                for h in hits)
+
+
+def test_polynomial_spec_typos_raise():
+    """_mono is strict: unknown variables / dangling '+' fail loudly instead
+    of silently parsing as the constant monomial (a different code)."""
+    with pytest.raises(ValueError, match="bad monomial"):
+        bicycle_code(12, 6, "x3 + y + z2", "y3 + x + x2")
+    with pytest.raises(ValueError, match="bad character"):
+        bicycle_code(12, 6, "x3 + y + y2z", "y3 + x + x2")
+    with pytest.raises(ValueError, match="bad monomial"):
+        bicycle_code(12, 6, "x3 + y +", "y3 + x + x2")
+
+
+def test_kernel_consts_none_for_lifted(gross_graphs):
+    """kernel_consts must not touch CirculantGraph-only roll operands on
+    lifted graphs (sum-product+pallas+mxu falls back to the XLA loop)."""
+    from qec_ldpc_tpu.decoder.decode import kernel_consts
+
+    cfg = BPConfig(algorithm="sum-product", kernel="pallas",
+                   kernel_roll_impl="mxu")
+    assert kernel_consts(gross_graphs, cfg) is None
