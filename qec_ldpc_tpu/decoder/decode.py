@@ -123,11 +123,10 @@ def _lane_sort(syndrome: jnp.ndarray):
 
 
 def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
-    # the layered schedule and the sum-product Pallas kernel are specialized
-    # to single-circulant graphs; lifted graphs (decoder/lifted.py, e.g.
-    # bivariate bicycle codes) decode via flooding — min-sum has a
-    # lifted-capable fused kernel (kernels/min_sum_pallas.py), sum-product
-    # falls back to the XLA loop
+    # the layered schedule is specialized to single-circulant graphs; lifted
+    # graphs (decoder/lifted.py, e.g. bivariate bicycle codes) decode via
+    # flooding — both flooding kernels dispatch to lifted-capable fused
+    # variants (kernels/lifted_{bp,min_sum}_pallas.py)
     is_circulant = isinstance(graph, CirculantGraph)
     if not is_circulant and cfg.algorithm == "layered-min-sum":
         raise ValueError(
@@ -207,7 +206,7 @@ def _decode_one_graph(graph, syndrome, prior, cfg: BPConfig, rolls=None):
         # sum = B*prior + (B-1)*(posterior - prior)) — exact ranking for OSD
         soft = jnp.sum(vv, axis=0) if cfg.return_soft else None
     else:
-        if cfg.kernel == "pallas" and is_circulant:
+        if cfg.kernel == "pallas":
             from qec_ldpc_tpu.kernels.bp_pallas import bp_run_pallas
 
             v, per_col_iters = bp_run_pallas(

@@ -323,6 +323,15 @@ def bp_run_pallas(
     """
     if roll_impl not in ("shift", "mxu"):
         raise ValueError(f"unknown roll_impl {roll_impl!r}")
+    if not isinstance(graph, CirculantGraph):
+        # lifted graphs (sums of monomials / product groups) route to the
+        # generalized kernel; it has no mxu variant (rolls is ignored)
+        from qec_ldpc_tpu.kernels.lifted_bp_pallas import lifted_bp_run_pallas
+
+        return lifted_bp_run_pallas(
+            graph, syndrome, prior, max_iters, check_every=check_every,
+            conv_low=conv_low, conv_high=conv_high, tile_batch=tile_batch,
+            interpret=interpret)
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:
         raise ValueError(f"batch {batch} not divisible by tile_batch {tile_batch}")

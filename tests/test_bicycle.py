@@ -303,3 +303,32 @@ def test_kernel_consts_none_for_lifted(gross_graphs):
     cfg = BPConfig(algorithm="sum-product", kernel="pallas",
                    kernel_roll_impl="mxu")
     assert kernel_consts(gross_graphs, cfg) is None
+
+
+def test_lifted_sum_product_kernel_bit_parity(gross_graphs):
+    """Fused lifted SUM-PRODUCT kernel (interpret mode) == XLA loop."""
+    from qec_ldpc_tpu.kernels.bp_pallas import bp_run_pallas
+
+    g = gross_graphs.x
+    rng = np.random.default_rng(8)
+    err = (rng.random((gross_graphs.code.n, 32)) < 0.03).astype(np.int32)
+    syn = g.syndrome(jnp.asarray(err))
+    v1, _ = bp_run(g, syn, jnp.float32(0.02), 20)
+    v2, _ = bp_run_pallas(g, syn, jnp.float32(0.02), 20,
+                          tile_batch=16, interpret=True)
+    assert bool(jnp.all(v1 == v2))
+
+
+def test_bicycle_sum_product_decode_pallas_equals_xla(gross, gross_graphs):
+    batch = 32
+    key = jax.random.PRNGKey(17)
+    xe, ze = sample_depolarizing_errors(key, gross.n, 0.01, batch)
+    xe, ze = xe.astype(jnp.int32), ze.astype(jnp.int32)
+    sx, sz = syndromes_from_errors(gross_graphs, xe, ze)
+    cfg_x = BPConfig(max_iters=40, kernel="xla")
+    cfg_p = BPConfig(max_iters=40, kernel="pallas", kernel_tile_batch=16)
+    rx = decode_batch(gross_graphs, sx, sz, 0.01, cfg_x)
+    rp = decode_batch(gross_graphs, sx, sz, 0.01, cfg_p)
+    assert np.array_equal(np.asarray(rx.decisions_x), np.asarray(rp.decisions_x))
+    assert np.array_equal(np.asarray(rx.decisions_z), np.asarray(rp.decisions_z))
+    assert np.array_equal(np.asarray(rx.error_code), np.asarray(rp.error_code))
