@@ -71,7 +71,8 @@ def main() -> int:
                     help="sum-product (reference-faithful) | min-sum | "
                          "layered-min-sum")
     ap.add_argument("--batch", type=int, default=2048)
-    ap.add_argument("--steps-per-call", type=int, default=4)
+    ap.add_argument("--steps-per-call", type=int, default=32,
+                help="chunks scanned per dispatch (the tunneled runtime charges ~30-70ms per dispatch)")
     ap.add_argument("--seed", type=int, default=20260818)
     ap.add_argument("--osd", type=int, default=-1, metavar="LAM",
                     help="OSD post-processing of BP failures: -1 off, "

@@ -10,6 +10,16 @@ The same pipeline via the Monte-Carlo driver:
 or the CLI init extensions ``algorithm=layered-min-sum relay=12 osd=60``.
 """
 
+import pathlib
+import sys
+
+# runnable from anywhere without installing the package
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from qec_ldpc_tpu.harness.cli import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()  # remote TPU compiles are slow; cache them
+
 import sys
 
 import jax

@@ -7,6 +7,16 @@ handle it).  See docs/DECODERS.md for algorithm selection.
     python examples/quickstart.py
 """
 
+import pathlib
+import sys
+
+# runnable from anywhere without installing the package
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from qec_ldpc_tpu.harness.cli import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()  # remote TPU compiles are slow; cache them
+
 import jax
 import jax.numpy as jnp
 import numpy as np
