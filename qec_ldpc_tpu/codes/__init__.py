@@ -15,6 +15,11 @@ from qec_ldpc_tpu.codes.bicycle import (
     known_bicycle_code,
     lifted_has_4cycles,
 )
+from qec_ldpc_tpu.codes.hypergraph import (
+    HypergraphProductCode,
+    hgp_code,
+    toric_code,
+)
 from qec_ldpc_tpu.codes.analysis import girth_report, qc_has_4cycles, tanner_girth
 from qec_ldpc_tpu.codes.css import QuantumLDPCCode, construct_code, exponents_from_pcm
 from qec_ldpc_tpu.codes.loader import load_code_file, save_code_file
@@ -26,6 +31,9 @@ __all__ = [
     "known_bicycle_code",
     "find_bicycle_codes",
     "lifted_has_4cycles",
+    "HypergraphProductCode",
+    "hgp_code",
+    "toric_code",
     "construct_code",
     "load_code_file",
     "save_code_file",

@@ -26,8 +26,10 @@ import jax
 from qec_ldpc_tpu.codes import (
     bicycle_code,
     construct_code,
+    hgp_code,
     known_bicycle_code,
     load_code_file,
+    toric_code,
 )
 from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
 from qec_ldpc_tpu.harness import debug
@@ -65,15 +67,25 @@ def enable_persistent_compile_cache(path: str = "/tmp/jax_cache") -> None:
 
 
 def load_code_and_graphs(spec: str):
-    """Resolve a codeFile spec to (code, graphs).  Three forms:
+    """Resolve a codeFile spec to (code, graphs).  Forms:
 
     * a path to a reference-format code file (``Quantum_LDPC_Code.h:43-74``);
     * ``qc:J,K,L,P,sigma,tau`` — programmatic Hagiwara–Imai construction
       (``QEC_LDPC_CSS.cu:26-131``);
     * ``bb:[[144,12,12]]`` (published instance) or
       ``bb:l=12,m=6,A=x3+y+y2,B=y3+x+x2`` — bivariate bicycle codes
-      (codes/bicycle.py) on lifted graphs.
+      (codes/bicycle.py) on lifted graphs;
+    * ``toric:d`` — the [[2d²,2,d]] toric code, or
+      ``hgp:n1=7,n2=7,h1=1+x+x3,h2=1+y+y3`` — hypergraph products of
+      circulant classical codes (codes/hypergraph.py) on lifted graphs.
     """
+    if spec.startswith("toric:"):
+        code = toric_code(int(spec[len("toric:"):]))
+        return code, code.build_graphs()
+    if spec.startswith("hgp:"):
+        kv = dict(t.split("=", 1) for t in spec[4:].split(","))
+        code = hgp_code(int(kv["n1"]), int(kv["n2"]), kv["h1"], kv["h2"])
+        return code, code.build_graphs()
     if spec.startswith("bb:"):
         body = spec[3:]
         if body.startswith("[["):
