@@ -144,9 +144,19 @@ def min_sum_run(
     v0 = jnp.broadcast_to(prior_llr, (graph.num_edges, batch)).astype(jnp.float32) + 0.0 * sign
     done0 = jnp.any(syndrome < 0, axis=0)  # all-False, syndrome-typed
 
+    # sharded adapters must keep every mesh device in the loop until the
+    # globally-slowest lane converges: collectives inside the body rendezvous
+    # across the whole mesh, so divergent trip counts deadlock.  The combined
+    # continue flag equals the single-device loop's (it runs until ALL batch
+    # lanes are done), so iteration counts stay bit-identical.
+    combine_cont = getattr(graph, "combine_continue", None)
+
     def cond(state):
         n, _, done = state
-        return (n < max_iters) & ~jnp.all(done)
+        cont = ~jnp.all(done)
+        if combine_cont is not None:
+            cont = combine_cont(cont)
+        return (n < max_iters) & cont
 
     def body(state):
         n, v, done = state
@@ -156,7 +166,15 @@ def min_sum_run(
             v_new = damping * v + (1.0 - damping) * v_new
         v_new = jnp.where(done[None, :], v, v_new)
         check_now = (n % check_every) == 0
-        conv = check_now & ~_not_converged_mask_llr(v_new, band)
+        mask = _not_converged_mask_llr(v_new, band)
+        # graph-sharded adapters (parallel/lifted_sharded.py) combine the
+        # per-shard lane mask across the graph axis so every shard's
+        # while_loop takes the same number of iterations (collectives inside
+        # the body would otherwise deadlock on divergent trip counts)
+        combine = getattr(graph, "combine_lane_mask", None)
+        if combine is not None:
+            mask = combine(mask)
+        conv = check_now & ~mask
         return n + 1, v_new, done | conv
 
     n_final, v_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), v0, done0))

@@ -176,9 +176,16 @@ def bp_run(
     v0 = jnp.broadcast_to(prior, (graph.num_edges, batch)).astype(jnp.float32) + 0.0 * sign
     done0 = jnp.any(syndrome < 0, axis=0)  # all-False, syndrome-typed
 
+    # see decoder/min_sum.py: sharded adapters combine the continue flag
+    # across the mesh so in-body collectives never see divergent trip counts
+    combine_cont = getattr(graph, "combine_continue", None)
+
     def cond(state):
         n, _, done = state
-        return (n < max_iters) & ~jnp.all(done)
+        cont = ~jnp.all(done)
+        if combine_cont is not None:
+            cont = combine_cont(cont)
+        return (n < max_iters) & cont
 
     def body(state):
         n, v, done = state
@@ -189,7 +196,14 @@ def bp_run(
         # (plain masking, not lax.cond: branch result types diverge under
         # shard_map's varying-axes tracking, and the test is one cheap pass)
         check_now = (n % check_every) == 0
-        conv = check_now & ~_not_converged_mask(v_new, conv_low, conv_high)
+        mask = _not_converged_mask(v_new, conv_low, conv_high)
+        # graph-sharded adapters combine the per-shard lane mask across the
+        # graph axis so all shards' while_loops stay in lockstep (see
+        # decoder/min_sum.py for the rationale)
+        combine = getattr(graph, "combine_lane_mask", None)
+        if combine is not None:
+            mask = combine(mask)
+        conv = check_now & ~mask
         return n + 1, v_new, done | conv
 
     n_final, v_final, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), v0, done0))

@@ -7,6 +7,7 @@ from qec_ldpc_tpu.parallel.mesh import (
     replicated,
 )
 from qec_ldpc_tpu.parallel.graph_sharded import make_graph_sharded_decoder
+from qec_ldpc_tpu.parallel.lifted_sharded import make_lifted_sharded_decoder
 from qec_ldpc_tpu.parallel.montecarlo import (
     make_sharded_chunk,
     mc_chunk,
@@ -17,6 +18,7 @@ from qec_ldpc_tpu.parallel.montecarlo import (
 
 __all__ = [
     "make_graph_sharded_decoder",
+    "make_lifted_sharded_decoder",
     "DATA_AXIS",
     "GRAPH_AXIS",
     "make_mesh",
