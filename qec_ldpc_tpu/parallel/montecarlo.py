@@ -26,11 +26,26 @@ from jax.sharding import Mesh, PartitionSpec as P
 from qec_ldpc_tpu.decoder.decode import CodeGraphs, decode_batch, kernel_consts
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
 from qec_ldpc_tpu.parallel.mesh import DATA_AXIS
-from qec_ldpc_tpu.sampling.classify import NUM_COUNTERS, classify_batch
+from qec_ldpc_tpu.sampling.classify import (
+    NUM_COUNTERS,
+    RankBasisTest,
+    classify_batch,
+    make_rank_basis_test,
+)
 from qec_ldpc_tpu.sampling.errors import (
     sample_depolarizing_errors,
     sample_weight_w_errors,
 )
+
+
+def _resolve_logical_test(graphs: CodeGraphs, i_minus_p):
+    """None -> rank-basis test of the code (reference convention); dense
+    arrays pass through as jnp arrays; RankBasisTest passes through."""
+    if i_minus_p is None:
+        return make_rank_basis_test(graphs.code)
+    if isinstance(i_minus_p, RankBasisTest):
+        return i_minus_p
+    return jnp.asarray(i_minus_p)
 
 
 def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
@@ -239,8 +254,7 @@ def run_monte_carlo_osd(
     else:
         post = None
     consts = kernel_consts(graphs, cfg)
-    if i_minus_p is None:
-        i_minus_p = graphs.code.i_minus_p
+    i_minus_p = _resolve_logical_test(graphs, i_minus_p)
     key = jax.random.PRNGKey(seed)
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     total_iters = 0
@@ -302,9 +316,13 @@ def run_monte_carlo(
     that stays pure-device, so it composes with meshes, scans, and resume.
     Returns (counters[NUM_COUNTERS], total_bp_iters) where total_bp_iters
     counts executed BP lane-iterations (X + Z) across all samples.
+
+    ``i_minus_p``: the logical-test operand — a dense (2n x 2n) matrix or a
+    :class:`~qec_ldpc_tpu.sampling.classify.RankBasisTest` (bit-identical
+    classification at O(rank * n) memory).  Defaults to the rank-basis test
+    of ``graphs.code`` in the reference convention.
     """
-    i_minus_p = jnp.asarray(graphs.code.i_minus_p if i_minus_p is None
-                            else i_minus_p)
+    i_minus_p = _resolve_logical_test(graphs, i_minus_p)
     key = jax.random.PRNGKey(seed)
     if mesh is not None:
         num_data = mesh.shape[DATA_AXIS]

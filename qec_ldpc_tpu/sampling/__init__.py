@@ -9,9 +9,13 @@ from qec_ldpc_tpu.sampling.classify import (
     C_TESTED,
     C_X_TESTED,
     C_Z_TESTED,
+    RankBasisTest,
     classify_batch,
     classify_batch_np,
     logical_error_mask,
+    logical_error_mask_basis,
+    make_rank_basis_test,
+    rank_basis_test,
 )
 from qec_ldpc_tpu.sampling.errors import (
     sample_depolarizing_errors,
@@ -24,6 +28,10 @@ __all__ = [
     "classify_batch",
     "classify_batch_np",
     "logical_error_mask",
+    "logical_error_mask_basis",
+    "RankBasisTest",
+    "rank_basis_test",
+    "make_rank_basis_test",
     "NUM_COUNTERS",
     "C_TESTED", "C_X_TESTED", "C_Z_TESTED", "C_CORRECTED",
     "C_SYN_X", "C_SYN_Z", "C_LOGICAL", "C_CONV_X", "C_CONV_Z",
