@@ -46,10 +46,40 @@ from qec_ldpc_tpu.sampling.classify import make_rank_basis_test
 
 
 def _log(fh, msg: str) -> None:
+    """Append + echo a run-log line; no-op on non-zero processes (fh=None —
+    single-writer semantics, main.cu:45-52)."""
+    if fh is None:
+        return
     line = f"{msg}"
     print(line)
     fh.write(line + "\n")
     fh.flush()
+
+
+def _broadcast_resume(start_chunk: int, init_counters, init_iters: int):
+    """Replicate process 0's journal resume state to every process.
+
+    Multi-host runs write journal/results from process 0 only; the other
+    processes must still execute the same chunk-group sequence (the sharded
+    chunk is a collective program — divergent start chunks would deadlock),
+    so the resume cursor is broadcast.  Encoded as fixed-shape arrays for
+    ``broadcast_one_to_all``.
+    """
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    from qec_ldpc_tpu.sampling import NUM_COUNTERS
+
+    has = init_counters is not None
+    counters = (np.asarray(init_counters, dtype=np.int64) if has
+                else np.zeros(NUM_COUNTERS, dtype=np.int64))
+    packed = np.concatenate([
+        np.array([start_chunk, init_iters, int(has)], dtype=np.int64),
+        counters])
+    packed = np.asarray(multihost_utils.broadcast_one_to_all(packed))
+    start_chunk, init_iters, has = (int(packed[0]), int(packed[1]),
+                                    bool(packed[2]))
+    return start_chunk, (packed[3:] if has else None), init_iters
 
 
 def enable_persistent_compile_cache(path: str = "/tmp/jax_cache") -> None:
@@ -80,24 +110,46 @@ def load_code_and_graphs(spec: str):
       ``hgp:n1=7,n2=7,h1=1+x+x3,h2=1+y+y3`` — hypergraph products of
       circulant classical codes (codes/hypergraph.py) on lifted graphs.
     """
+    def bad_spec(form: str, exc: Exception):
+        return ValueError(
+            f"malformed code spec {spec!r}: expected {form} ({exc})")
+
     if spec.startswith("toric:"):
-        code = toric_code(int(spec[len("toric:"):]))
+        try:
+            code = toric_code(int(spec[len("toric:"):]))
+        except (ValueError, TypeError) as e:
+            raise bad_spec("toric:<d> with integer distance d >= 2", e) from e
         return code, code.build_graphs()
     if spec.startswith("hgp:"):
-        kv = dict(t.split("=", 1) for t in spec[4:].split(","))
-        code = hgp_code(int(kv["n1"]), int(kv["n2"]), kv["h1"], kv["h2"])
+        try:
+            kv = dict(t.split("=", 1) for t in spec[4:].split(","))
+            code = hgp_code(int(kv["n1"]), int(kv["n2"]), kv["h1"], kv["h2"])
+        except (KeyError, ValueError, TypeError) as e:
+            raise bad_spec(
+                "hgp:n1=<int>,n2=<int>,h1=<poly>,h2=<poly> "
+                "(e.g. hgp:n1=7,n2=7,h1=1+x+x3,h2=1+y+y3)", e) from e
         return code, code.build_graphs()
     if spec.startswith("bb:"):
         body = spec[3:]
-        if body.startswith("[["):
-            code = known_bicycle_code(body)
-        else:
-            kv = dict(t.split("=", 1) for t in body.split(","))
-            code = bicycle_code(int(kv["l"]), int(kv["m"]), kv["A"], kv["B"])
+        try:
+            if body.startswith("[["):
+                code = known_bicycle_code(body)
+            else:
+                kv = dict(t.split("=", 1) for t in body.split(","))
+                code = bicycle_code(int(kv["l"]), int(kv["m"]),
+                                    kv["A"], kv["B"])
+        except (KeyError, ValueError, TypeError) as e:
+            raise bad_spec(
+                "bb:[[n,k,d]] (a published instance) or "
+                "bb:l=<int>,m=<int>,A=<poly>,B=<poly> "
+                "(e.g. bb:l=12,m=6,A=x3+y+y2,B=y3+x+x2)", e) from e
         return code, code.build_graphs()
     if spec.startswith("qc:"):
-        vals = [int(x) for x in spec[3:].replace(",", " ").split()]
-        code = construct_code(*vals)
+        try:
+            vals = [int(x) for x in spec[3:].replace(",", " ").split()]
+            code = construct_code(*vals)
+        except (ValueError, TypeError) as e:
+            raise bad_spec("qc:J,K,L,P,sigma,tau (six integers)", e) from e
         return code, CodeGraphs.build(code)
     code = load_code_file(spec)
     return code, CodeGraphs.build(code)
@@ -106,9 +158,16 @@ def load_code_and_graphs(spec: str):
 def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     enable_persistent_compile_cache()
     maybe_init_distributed()
-    os.makedirs(cfg.results_dir, exist_ok=True)
-    log = open(cfg.log_file, "a")  # append-mode run log (main.cu:45-52)
-    log.write("\n" + datetime.datetime.now().ctime() + "\n")
+    # single-writer output hygiene (main.cu:45-52,100): only process 0 opens
+    # the run log / journal / results files — counters are replicated, so
+    # under jax.distributed every process would otherwise write duplicates
+    # to a shared filesystem
+    is_main = jax.process_index() == 0
+    log = None
+    if is_main:
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        log = open(cfg.log_file, "a")  # append-mode run log (main.cu:45-52)
+        log.write("\n" + datetime.datetime.now().ctime() + "\n")
 
     code, graphs = load_code_and_graphs(cfg.code_file)
     # rank-basis logical test: bit-identical to the dense iMinusP matvec
@@ -117,13 +176,40 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     i_minus_p = make_rank_basis_test(code, cfg.logical_test)
     bp_cfg = cfg.bp_config()
     seed = cfg.seed if cfg.seed is not None else random.SystemRandom().getrandbits(32)
+    if jax.process_count() > 1 and cfg.seed is None:
+        # all processes must agree on the run seed (sample keys derive
+        # from it); take process 0's draw
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        seed = int(multihost_utils.broadcast_one_to_all(
+            _np.int64(seed)))
 
     devices = jax.devices()
-    mesh = make_mesh() if (cfg.use_mesh and len(devices) > 1) else None
+    if cfg.num_graph > 1:
+        # (data x graph) mesh: Tanner-graph sharding (BASELINE config 5)
+        if cfg.osd >= 0 or cfg.relay > 0:
+            raise ValueError(
+                "relay/osd quality modes are data-parallel-only; "
+                "set num_graph=1 or disable relay/osd")
+        if len(devices) < cfg.num_graph:
+            raise ValueError(
+                f"num_graph={cfg.num_graph} needs at least that many "
+                f"devices, have {len(devices)}")
+        num_data = len(devices) // cfg.num_graph
+        mesh = make_mesh(num_data=num_data, num_graph=cfg.num_graph,
+                         devices=devices[: num_data * cfg.num_graph])
+    else:
+        mesh = make_mesh() if (cfg.use_mesh and len(devices) > 1) else None
     _log(log, f"Initializing run for code {code} on {len(devices)} device(s) "
-              f"({devices[0].platform}); seed={seed}")
+              f"({devices[0].platform}"
+              + (f"; mesh data={dict(mesh.shape)['data']}"
+                 f" x graph={dict(mesh.shape)['graph']}" if mesh is not None
+                 else "")
+              + f"); seed={seed}")
 
-    journal = Journal(os.path.join(cfg.results_dir, "journal.jsonl"))
+    journal = (Journal(os.path.join(cfg.results_dir, "journal.jsonl"))
+               if is_main else None)
 
     all_stats: list[CodeStatistics] = []
     with debug.trace(cfg.profile_dir or None):
@@ -139,6 +225,10 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 run_id += f"|osd={cfg.osd}"
             if cfg.relay > 0:
                 run_id += f"|relay={cfg.relay}"
+            if cfg.num_graph > 1:
+                # graph-sharded sum-product reassociates (statistically but
+                # not bit-equivalent), so a continuation must not blend
+                run_id += f"|ng={cfg.num_graph}"
             if cfg.logical_test != "reference":
                 run_id += f"|lt={cfg.logical_test}"
             fname = format_result_filename(str(code), w, cfg.max_iterations, p)
@@ -155,11 +245,18 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                               "(host post-processing runs single-device)")
                 _log(log, "  osd mode: journal resume disabled")
             else:
-                start_chunk, init_counters, init_iters = journal.resume_state(run_id, w)
+                start_chunk, init_counters, init_iters = (
+                    journal.resume_state(run_id, w) if journal is not None
+                    else (0, None, 0))
+                if jax.process_count() > 1:
+                    start_chunk, init_counters, init_iters = _broadcast_resume(
+                        start_chunk, init_counters, init_iters)
                 if start_chunk:
                     _log(log, f"  resuming W={w} p={p:g} at chunk {start_chunk}")
 
             def on_chunk(c, num_chunks, counters, iters, _w=w, _rid=run_id):
+                if journal is None:
+                    return
                 journal.append({
                     "run_id": _rid, "weight": _w, "chunk": c,
                     "counters": [int(x) for x in counters], "iters": iters,
@@ -194,16 +291,18 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 total_bp_iterations=bp_iters + init_iters,
                 num_devices=len(devices))
             all_stats.append(stats)
-            # append-mode per-weight results file (main.cu:100)
-            with open(out_path, "a") as f:
-                f.write(stats.to_reference_text() + "\n\n")
+            # append-mode per-weight results file, process 0 only (main.cu:100)
+            if is_main:
+                with open(out_path, "a") as f:
+                    f.write(stats.to_reference_text() + "\n\n")
             _log(log, f"  W={w} p={p:g}: {stats.num_errors_tested} samples, "
                       f"corrected={stats.corrected}, "
                       f"logical={stats.logical_errors}, "
                       f"{stats.samples_per_second:,.0f} samples/s")
 
     _log(log, "Run complete.")
-    log.close()
+    if log is not None:
+        log.close()
     return all_stats
 
 

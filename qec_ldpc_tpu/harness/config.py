@@ -30,6 +30,13 @@ class RunConfig:
     algorithm: str = "sum-product"   # or "min-sum" / "layered-min-sum"
     error_model: str = "weight"      # or "depolarizing"
     use_mesh: bool = True            # shard over all local devices
+    #: graph-axis size of the device mesh (BASELINE config 5): > 1 shards the
+    #: Tanner graphs themselves across chips (block-columns for circulant QC
+    #: codes, lift-lane bands for BB/HGP codes — parallel/mc_graph.py) and
+    #: the Monte-Carlo batch over the remaining devices.  Constraints:
+    #: num_graph must divide L (circulant) / the lift height l (lifted), and
+    #: relay/osd quality modes are data-parallel-only.
+    num_graph: int = 1
     #: comma-separated physical error rates: sweep p (logical-error-rate
     #: curve, BASELINE config 4) instead of the reference's weight sweep
     p_values: str = ""
@@ -73,9 +80,14 @@ class RunConfig:
     def bp_config(self) -> BPConfig:
         kernel = self.kernel
         if kernel == "auto":
-            import jax
+            if self.num_graph > 1:
+                # the graph-sharded engines are XLA loops (the fused kernels
+                # are single-chip); make_graph_sharded_chunk rejects 'pallas'
+                kernel = "xla"
+            else:
+                import jax
 
-            kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+                kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
         return BPConfig(max_iters=self.max_iterations,
                         algorithm=self.algorithm, kernel=kernel)
 

@@ -244,8 +244,21 @@ def make_lifted_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg):
         if g.num_check_blocks != 1:
             raise ValueError("lane sharding requires one check block "
                              f"(got {g.num_check_blocks})")
+    # fail loudly on BPConfig features this path cannot honor (it would
+    # otherwise silently fall back to the XLA loop / drop soft outputs)
+    if cfg.kernel == "pallas":
+        raise ValueError(
+            "cfg.kernel='pallas' is not supported by the lane-sharded "
+            "decoder (it runs the XLA loops inside shard_map); use "
+            "kernel='xla'")
+    if getattr(cfg, "return_soft", False):
+        raise ValueError(
+            "cfg.return_soft is not supported by the lane-sharded decoder "
+            "(no soft outputs -> no OSD composition); decode with "
+            "decode_batch for OSD post-processing")
     ax = ShardedLiftedGraph(graphs.x, G)
     az = ShardedLiftedGraph(graphs.z, G)
+    num_data = mesh.shape[DATA_AXIS]
 
     def shard_fn(sx, sz, p):
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)
@@ -283,6 +296,23 @@ def make_lifted_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg):
         return out.transpose(1, 0, 2, 3, 4).reshape(-1, batch)
 
     def decode(syndrome_x, syndrome_z, error_probability):
+        # validate before the jitted shard_map so violations surface as a
+        # decoder-level message, not a cryptic sharding error
+        for name, s, g in (("syndrome_x", syndrome_x, graphs.x),
+                           ("syndrome_z", syndrome_z, graphs.z)):
+            if s.ndim != 2 or s.shape[0] != g.num_checks:
+                raise ValueError(
+                    f"{name} must be ({g.num_checks}, batch) in GLOBAL "
+                    f"check order, got {s.shape}")
+        batch = syndrome_x.shape[-1]
+        if syndrome_z.shape[-1] != batch:
+            raise ValueError(
+                f"syndrome batch sizes differ: {batch} vs "
+                f"{syndrome_z.shape[-1]}")
+        if batch % num_data != 0:
+            raise ValueError(
+                f"batch={batch} must be divisible by the data-axis size "
+                f"{num_data}")
         dx, dz, code, iters = jitted(syndrome_x, syndrome_z,
                                      jnp.float32(error_probability))
         return _reorder(dx, ax), _reorder(dz, az), code, iters

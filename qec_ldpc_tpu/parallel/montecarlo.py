@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from qec_ldpc_tpu.decoder.decode import CodeGraphs, decode_batch, kernel_consts
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
-from qec_ldpc_tpu.parallel.mesh import DATA_AXIS
+from qec_ldpc_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
 from qec_ldpc_tpu.sampling.classify import (
     NUM_COUNTERS,
     RankBasisTest,
@@ -326,9 +326,19 @@ def run_monte_carlo(
     key = jax.random.PRNGKey(seed)
     if mesh is not None:
         num_data = mesh.shape[DATA_AXIS]
+        num_graph = dict(mesh.shape).get(GRAPH_AXIS, 1)
         per_dev = max(1, batch_size // num_data)
-        chunk_fn = make_sharded_chunk(mesh, graphs, weight, cfg, per_dev,
-                                      error_model, relay_retries)
+        if num_graph > 1:
+            # (data x graph) mesh: decode itself is sharded over the graph
+            # axis (parallel/mc_graph.py) — BASELINE config 5 end-to-end
+            from qec_ldpc_tpu.parallel.mc_graph import make_graph_sharded_chunk
+
+            chunk_fn = make_graph_sharded_chunk(
+                mesh, graphs, weight, cfg, per_dev, error_model,
+                relay_retries)
+        else:
+            chunk_fn = make_sharded_chunk(mesh, graphs, weight, cfg, per_dev,
+                                          error_model, relay_retries)
         chunk_samples = per_dev * num_data
         consts = kernel_consts(graphs, cfg)
         def run_group(ids, p):

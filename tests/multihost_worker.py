@@ -7,7 +7,12 @@ counters — which must be identical across processes and equal to a
 single-process 8-device run (per-sample keys derive from global device
 index, independent of the process partition).
 
-Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id>
+Usage: python multihost_worker.py <coordinator> <num_procs> <proc_id> \
+           [chunk | cli <results_dir>]
+
+``cli`` mode runs the full harness ``run_sweep`` end-to-end (the two
+processes share <results_dir>, so single-writer gating is observable: the
+test asserts exactly one set of results/journal/log records).
 """
 
 import os
@@ -38,6 +43,26 @@ def main() -> int:
     from qec_ldpc_tpu.codes import construct_code
     from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
     from qec_ldpc_tpu.parallel import make_mesh, make_sharded_chunk
+
+    mode = sys.argv[4] if len(sys.argv) > 4 else "chunk"
+    if mode == "cli":
+        # full harness path over the process-spanning mesh: process-0-only
+        # writes, broadcast seed/resume, replicated stats on every process
+        results_dir = sys.argv[5]
+        from qec_ldpc_tpu.harness.cli import run_sweep
+        from qec_ldpc_tpu.harness.config import RunConfig
+
+        cfg = RunConfig(
+            code_file="qc:3,3,6,7,2,3", weight_start=2, weight_end=2,
+            count=64, max_iterations=20, error_probability=0.02,
+            seed=11, batch_size=32, algorithm="min-sum",
+            results_dir=results_dir,
+            log_file=os.path.join(results_dir, "log.txt"))
+        stats = run_sweep(cfg)[0]
+        print(f"STATS {stats.num_errors_tested},{stats.corrected},"
+              f"{stats.logical_errors}", flush=True)
+        jax.distributed.shutdown()
+        return 0
 
     code = construct_code(3, 3, 6, 7, 2, 3)
     graphs = CodeGraphs.build(code)

@@ -149,3 +149,13 @@ def test_run_sweep_osd_mode(tmp_path, small_code_file):
     assert osd.syndrome_errors_x == 0 and osd.syndrome_errors_z == 0
     assert osd.corrected >= base.corrected
     assert osd.corrected + osd.logical_errors == osd.num_errors_tested
+
+
+def test_malformed_code_specs_raise_helpful_errors():
+    """ADVICE r2: hgp:/toric:/bb:/qc: spec typos name the expected format."""
+    from qec_ldpc_tpu.harness.cli import load_code_and_graphs
+
+    for spec in ["toric:abc", "hgp:n1=3,h1=1+x", "bb:l=12,m=6,A=x3",
+                 "qc:3,3,6", "hgp:n1=x,n2=7,h1=1,h2=1"]:
+        with pytest.raises(ValueError, match="malformed code spec"):
+            load_code_and_graphs(spec)

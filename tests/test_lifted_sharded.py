@@ -128,3 +128,36 @@ def test_weight_one_corrected_full_mesh():
     residual = (np.asarray(dx) + xe) % 2
     doubled = np.concatenate([residual, np.zeros_like(residual)], axis=0)
     assert not code.check_logical_error(doubled.T).any()
+
+
+def test_unsupported_bpconfig_fields_fail_loudly():
+    """ADVICE r2: pallas / return_soft configs must not silently fall back."""
+    code = toric_code(4)
+    graphs = code.build_graphs()
+    mesh = make_mesh(num_data=4, num_graph=2)
+    with pytest.raises(ValueError, match="pallas"):
+        make_lifted_sharded_decoder(
+            mesh, graphs, BPConfig(max_iters=5, algorithm="min-sum",
+                                   kernel="pallas"))
+    with pytest.raises(ValueError, match="return_soft"):
+        make_lifted_sharded_decoder(
+            mesh, graphs, BPConfig(max_iters=5, algorithm="min-sum",
+                                   return_soft=True))
+
+
+def test_shape_and_divisibility_validation():
+    """ADVICE r2: bad shapes raise a decoder-level message, not a cryptic
+    shard_map sharding error."""
+    code = toric_code(4)
+    graphs = code.build_graphs()
+    mesh = make_mesh(num_data=4, num_graph=2)
+    decode = make_lifted_sharded_decoder(
+        mesh, graphs, BPConfig(max_iters=5, algorithm="min-sum"))
+    ok = jnp.zeros((graphs.x.num_checks, 8), jnp.int32)
+    with pytest.raises(ValueError, match="GLOBAL"):
+        decode(jnp.zeros((7, 8), jnp.int32), ok, 0.01)
+    with pytest.raises(ValueError, match="divisible"):
+        decode(jnp.zeros((graphs.x.num_checks, 6), jnp.int32),
+               jnp.zeros((graphs.z.num_checks, 6), jnp.int32), 0.01)
+    with pytest.raises(ValueError, match="batch sizes differ"):
+        decode(ok, jnp.zeros((graphs.z.num_checks, 4), jnp.int32), 0.01)
