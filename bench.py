@@ -39,6 +39,46 @@ import numpy as np
 BASELINE_SAMPLES_PER_S = 887.0       # reference headline, SURVEY §6
 BASELINE_ITER_SAMPLES_PER_S = 8.87e4  # derived: 887 samples/s x <=100 iters
 REFERENCE_CORRECTED_FRACTION = 0.99539  # 99539 / 100000, same results file
+BASELINE_SMALL_CODE_SAMPLES_PER_S = 110_000.0  # [[42]] W=1 p=0.02 (BASELINE.md row 4)
+
+# VPU peak estimates (f32 vector FLOP/s) per device kind: 8x128 lanes x 4
+# ALUs x clock, the public derivation of the scaling-book hardware chapter.
+# ESTIMATES for the utilization denominator, recorded alongside the achieved
+# number so the claim is auditable; clocks: v4 1050 MHz, v5e 940 MHz (v5e is
+# this bench's chip), v5p 1750 MHz.
+VPU_PEAK_FLOPS = {
+    "TPU v4": 8 * 128 * 4 * 1.050e9,
+    "TPU v5 lite": 8 * 128 * 4 * 0.940e9,
+    "TPU v5e": 8 * 128 * 4 * 0.940e9,
+    "TPU v5p": 8 * 128 * 4 * 1.750e9,
+    "TPU v5": 8 * 128 * 4 * 1.750e9,
+}
+
+
+def bp_flops_per_iter_sample(graphs) -> float:
+    """Analytic f32 FLOPs of ONE BP iteration of ONE sample (X + Z graphs),
+    flooding sum-product in the fused kernel's formulation.
+
+    XLA's cost analysis reports 0 FLOPs for pallas_call custom calls, so the
+    roofline numerator must be counted by hand.  Per edge-tensor of E = B*L*P
+    edges (B block-rows of degree L; var degree B):
+
+    * CN: t = 1 - 2v (2E); leave-one-out products via prefix/suffix trees,
+      ~3 multiplies per edge (3E); e = 0.5 - sgn * other * loo (2E) -> 7E.
+    * VN: 1-p terms (E); two leave-one-out trees (p and 1-p), ~3E each (6E);
+      posterior num/den/divide (4E) -> 11E.
+    * Rolls/permutes move data, 0 FLOPs.
+
+    Total ~18 FLOPs per edge per iteration — a deliberate undercount (no
+    convergence-scan, init, syndrome, or masking ops), so the utilization
+    figure is conservative.  Each "iteration*sample" of the north-star
+    metric executes one X-graph AND one Z-graph iteration (the reference
+    decodes both per sample, DecoderCPU.h:329-345).
+    """
+    def edges(g):
+        return g.B * g.L * g.P
+
+    return 18.0 * (edges(graphs.x) + edges(graphs.z))
 
 
 def main() -> int:
@@ -157,6 +197,41 @@ def main() -> int:
 
     iter_samples_per_s = chunks * batch * max_iters / best_fw
 
+    # ---- roofline: achieved FLOP/s and VPU utilization (fixed-work run) ----
+    # numerator: analytic kernel FLOPs (XLA cost analysis can't see inside
+    # pallas_call custom calls); denominator: VPU peak ESTIMATE for this
+    # device kind — both recorded so the "speed-of-light" claim is a number,
+    # not prose (VERDICT r2 weak #4)
+    kind = jax.devices()[0].device_kind
+    achieved_flops = iter_samples_per_s * bp_flops_per_iter_sample(graphs)
+    vpu_peak = VPU_PEAK_FLOPS.get(kind)
+    vpu_utilization = (achieved_flops / vpu_peak) if vpu_peak else None
+
+    # ---- secondary: [[42]] small code — the dispatch-overhead regime ----
+    # reference: ~110k samples/s at W=1, MAX=100, p=0.02 (BASELINE.md row 4).
+    # Small codes are where the TPU multiplier shrinks most (launch/dispatch
+    # overhead, tiny edge tensors); reported honestly as its own field.
+    small = construct_code(3, 3, 6, 7, 2, 3)
+    small_graphs = CodeGraphs.build(small)
+    sm_batch = 8192
+    sm_count = 256 * sm_batch  # ~2.1M samples, one dispatch
+    sm_cfg = BPConfig(max_iters=max_iters, check_every=10, kernel="pallas",
+                      kernel_tile_batch=512)
+
+    def sm_run():
+        return run_monte_carlo(small_graphs, 1, sm_count, 0.02, sm_cfg,
+                               seed=1, batch_size=sm_batch,
+                               steps_per_call=256)
+
+    sm_counters, _ = sm_run()  # compile + warm up
+    best_sm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sm_counters, _ = sm_run()
+        best_sm = min(best_sm, time.perf_counter() - t0)
+    sm_corrected = sm_counters[3] / sm_counters[0]
+    small_samples_per_s = int(sm_counters[0]) / best_sm
+
     # ---- secondary: bivariate bicycle gross code (beyond-reference family) --
     # [[144,12,12]] (codes/bicycle.py) decoded with flooding min-sum on the
     # fused lifted-graph Pallas kernel, depolarizing p=0.01, early exit —
@@ -204,6 +279,15 @@ def main() -> int:
             iter_samples_per_s, 1),
         "fixed_work_vs_baseline": round(
             iter_samples_per_s / BASELINE_ITER_SAMPLES_PER_S, 2),
+        "achieved_vpu_flops_per_s": round(achieved_flops, 1),
+        "vpu_peak_estimate_flops_per_s": vpu_peak,
+        "vpu_utilization": (round(vpu_utilization, 4)
+                            if vpu_utilization is not None else None),
+        "device_kind": kind,
+        "small_code_42_samples_per_s": round(small_samples_per_s, 1),
+        "small_code_42_vs_baseline": round(
+            small_samples_per_s / BASELINE_SMALL_CODE_SAMPLES_PER_S, 2),
+        "small_code_42_corrected_fraction": round(float(sm_corrected), 5),
         "bicycle_gross_samples_per_s": round(bb_samples_per_s, 1),
         "bicycle_gross_corrected_fraction": round(float(bb_corrected), 5),
     }

@@ -235,24 +235,14 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
             out_path = os.path.join(cfg.results_dir, fname)
             _log(log, out_path)
 
-            if cfg.osd >= 0:
-                # host-OSD mode: single-device, no chunk-exact resume, and
-                # no journal records (they could never be consumed and would
-                # duplicate chunk sequences across reruns)
-                start_chunk, init_counters, init_iters = 0, None, 0
-                if mesh is not None:
-                    _log(log, "  osd mode: device mesh disabled "
-                              "(host post-processing runs single-device)")
-                _log(log, "  osd mode: journal resume disabled")
-            else:
-                start_chunk, init_counters, init_iters = (
-                    journal.resume_state(run_id, w) if journal is not None
-                    else (0, None, 0))
-                if jax.process_count() > 1:
-                    start_chunk, init_counters, init_iters = _broadcast_resume(
-                        start_chunk, init_counters, init_iters)
-                if start_chunk:
-                    _log(log, f"  resuming W={w} p={p:g} at chunk {start_chunk}")
+            start_chunk, init_counters, init_iters = (
+                journal.resume_state(run_id, w) if journal is not None
+                else (0, None, 0))
+            if jax.process_count() > 1:
+                start_chunk, init_counters, init_iters = _broadcast_resume(
+                    start_chunk, init_counters, init_iters)
+            if start_chunk:
+                _log(log, f"  resuming W={w} p={p:g} at chunk {start_chunk}")
 
             def on_chunk(c, num_chunks, counters, iters, _w=w, _rid=run_id):
                 if journal is None:
@@ -264,13 +254,17 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
 
             t0 = time.perf_counter()
             if cfg.osd >= 0:
-                # host-OSD quality mode: relay (optional) then OSD per chunk
-                # (no mesh scan / journal resume — chunks aren't pure-device)
+                # host-OSD quality mode: relay (optional) then OSD per chunk.
+                # Chunks shard over the mesh's data axis via GSPMD (one key
+                # per chunk -> partition-independent counters) and journal
+                # POST-repair counters per chunk for chunk-exact resume.
                 counters, bp_iters = run_monte_carlo_osd(
                     graphs, w, cfg.count, p, bp_cfg, seed + i,
                     batch_size=cfg.batch_size, lam=cfg.osd,
-                    error_model=cfg.error_model, progress=None,
+                    error_model=cfg.error_model, progress=on_chunk,
                     relay_retries=cfg.relay, i_minus_p=i_minus_p,
+                    mesh=mesh, start_chunk=start_chunk,
+                    init_counters=init_counters,
                 )
             else:
                 # standard path; relay (if any) stays pure-device, so mesh

@@ -30,12 +30,17 @@ communication:compute ratio falls as G/L, so the design scales to meshes with
 G << L block-columns per device and stays ICI-friendly (nearest-neighbor
 all-gather ring) on larger codes.
 
-**Why rolls stay local but device-varying.**  shard_map traces one program for
-all devices, so each device's circulant shifts (its columns' exponents) cannot
-be baked in as static slices.  Instead each device receives its own stack of
-P x P permutation matrices as a *sharded operand* and applies them as batched
-matmuls (exact for 0/1 matrices at HIGHEST precision).  No gathers, static
-shapes — the constraints the TPU toolchain imposes on loop bodies.
+**Why rolls stay local but device-varying — and how they stay static.**
+shard_map traces one program for all devices, so each device's circulant
+shifts (its columns' exponents) cannot be baked directly into slices.  Round
+2 solved this with per-device stacks of P x P permutation matrices applied
+as HIGHEST-precision matmuls — correct, but a factor-P FLOP overhead and the
+variant measured 2x slower than shift routing in kernels/bp_pallas.py.  Now
+routing is a ``lax.switch`` over G branches, one per graph-shard position,
+each containing that device's columns' shifts as STATIC slice+concat rolls
+(decoder/layout.py style).  Each device executes exactly its own branch at
+runtime; no gathers, no matmuls, static shapes — the constraints the TPU
+toolchain imposes on loop bodies (VERDICT r2 #4).
 
 Numerics: the cross-device product reassociates the reference's serial
 accumulation (DecoderCPU.h:170-176), so the graph-sharded sum-product decoder
@@ -68,33 +73,75 @@ from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
 from qec_ldpc_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
 
-_EXACT = jax.lax.Precision.HIGHEST  # permutation matmuls must not round
+def _static_roll_blocks(x: jnp.ndarray, shifts: tuple[int, ...],
+                        P: int) -> jnp.ndarray:
+    """Per-block cyclic roll of (NB*P, batch) rows with STATIC shifts:
+    block i's P rows are rotated so out[q] = in[(q + s_i) % P] — two static
+    slices + one concat per block (decoder/layout.py _roll_blocks)."""
+    chunks = []
+    for i, s in enumerate(shifts):
+        base = i * P
+        s = int(s) % P
+        if s == 0:
+            chunks.append(jax.lax.slice_in_dim(x, base, base + P, axis=0))
+        else:
+            chunks.append(jax.lax.slice_in_dim(x, base + s, base + P, axis=0))
+            chunks.append(jax.lax.slice_in_dim(x, base, base + s, axis=0))
+    return jnp.concatenate(chunks, axis=0)
 
 
-def _roll_operands(graph: CirculantGraph) -> tuple[np.ndarray, np.ndarray]:
-    """Global (L*B, P, P) permutation stacks, block order (l, b) so a G-way
-    split of axis 0 hands each device exactly its columns' blocks.
+class ShardRouter:
+    """Device-position-resolved static routing for a graph-sharded circulant
+    graph: a ``lax.switch`` over G branches, each holding one device's Lc
+    block-columns' shifts as static rolls.
 
-    to_var[i, q, r] = 1 iff r = (q - C) % P   (check -> var order)
-    to_chk[i, r, q] = 1 iff q = (r + C) % P   (var -> check order)
+    Block order within a device is (l, b) — matching a G-way contiguous
+    split of the global (l, b)-ordered edge blocks — so device g's block
+    (l, b) has exponent ``table[b, g*Lc + l]``.  ``to_var`` applies
+    out[q] = in[(q - C) % P] (check -> var order), ``to_chk`` the inverse;
+    ``layer_to_var/chk`` restrict to one block-row layer (the layered
+    schedule's (Lc, P) slabs).
     """
-    B, L, Pc = graph.B, graph.L, graph.P
-    to_var = np.zeros((L * B, Pc, Pc), dtype=np.float32)
-    to_chk = np.zeros((L * B, Pc, Pc), dtype=np.float32)
-    q = np.arange(Pc)
-    for l in range(L):
-        for b in range(B):
-            c = int(graph.table[b, l])
-            i = l * B + b
-            to_var[i, q, (q - c) % Pc] = 1.0
-            to_chk[i, q, (q + c) % Pc] = 1.0
-    return to_var, to_chk
 
+    def __init__(self, graph: CirculantGraph, Lc: int, G: int):
+        B, Pc = graph.B, graph.P
+        self.P = Pc
+        t = np.asarray(graph.table) % Pc
 
-def _batched_roll(mats: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply per-block permutations: (NB, P, P) x (NB, P, bt) -> (NB, P, bt)."""
-    return jax.lax.dot_general(
-        mats, x, (((2,), (1,)), ((0,), (0,))), precision=_EXACT)
+        def shifts(g, sign, layer=None):
+            out = []
+            for l in range(Lc):
+                for b in ([layer] if layer is not None else range(B)):
+                    c = int(t[b, g * Lc + l])
+                    out.append((-c) % Pc if sign < 0 else c)
+            return tuple(out)
+
+        self._var = [shifts(g, -1) for g in range(G)]
+        self._chk = [shifts(g, +1) for g in range(G)]
+        self._var_layer = [[shifts(g, -1, b) for g in range(G)]
+                           for b in range(B)]
+        self._chk_layer = [[shifts(g, +1, b) for g in range(G)]
+                           for b in range(B)]
+
+    def _apply(self, x: jnp.ndarray, per_dev) -> jnp.ndarray:
+        branches = [
+            (lambda xx, s=s: _static_roll_blocks(xx, s, self.P))
+            for s in per_dev
+        ]
+        return jax.lax.switch(
+            jax.lax.axis_index(GRAPH_AXIS), branches, x)
+
+    def to_var(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(x, self._var)
+
+    def to_chk(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(x, self._chk)
+
+    def layer_to_var(self, b: int, x: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(x, self._var_layer[b])
+
+    def layer_to_chk(self, b: int, x: jnp.ndarray) -> jnp.ndarray:
+        return self._apply(x, self._chk_layer[b])
 
 
 def _other_device_product(local: jnp.ndarray, axis: str) -> jnp.ndarray:
@@ -147,12 +194,11 @@ def _other_device_min_and_product(local_min: jnp.ndarray,
 
 
 def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
-                prior: jnp.ndarray, to_var: jnp.ndarray, to_chk: jnp.ndarray,
-                cfg: BPConfig):
+                prior: jnp.ndarray, router: ShardRouter, cfg: BPConfig):
     """Per-device BP over the local Lc block-columns; runs inside shard_map.
 
     syndrome: (B*P, bt) full check rows (replicated over graph axis).
-    to_var/to_chk: (Lc*B, P, P) this device's permutation stacks.
+    router: this mesh's switch-of-static-rolls routing (ShardRouter).
     Returns (v_local (Lc*B*P, bt) check-indexed, iters).
     """
     B, Pc = graph.B, graph.P
@@ -184,8 +230,7 @@ def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
         return e.reshape(NB * Pc, bt)
 
     def vn(e, last):
-        ev = _batched_roll(to_var, e.reshape(NB, Pc, bt))     # var order
-        ev = ev.reshape(Lc, B, Pc * bt)
+        ev = router.to_var(e).reshape(Lc, B, Pc * bt)         # var order
         terms_p = [ev[:, i] for i in range(B)]
         terms_m = [1.0 - ev[:, i] for i in range(B)]
         ones = jnp.ones_like(terms_p[0])
@@ -206,8 +251,8 @@ def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
             num = prior * prod_p
             den = (1.0 - prior) * prod_m + num
             outs.append(num / den)
-        vv = jnp.stack(outs, axis=1).reshape(NB, Pc, bt)      # (lc, b) order
-        return _batched_roll(to_chk, vv).reshape(NB * Pc, bt)
+        vv = jnp.stack(outs, axis=1).reshape(NB * Pc, bt)     # (lc, b) order
+        return router.to_chk(vv)
 
     def not_conv(v):
         inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
@@ -233,8 +278,7 @@ def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
 
 
 def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
-                     prior: jnp.ndarray, to_var: jnp.ndarray,
-                     to_chk: jnp.ndarray, cfg: BPConfig):
+                     prior: jnp.ndarray, router: ShardRouter, cfg: BPConfig):
     """Per-device flooding normalized min-sum over the local Lc block-columns
     (LLR domain, decoder/min_sum.py rules); runs inside shard_map.
 
@@ -284,8 +328,7 @@ def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
         return jnp.stack(es).reshape(NB * Pc, bt)
 
     def vn(e, last):
-        ev = _batched_roll(to_var, e.reshape(NB, Pc, bt))
-        ev = ev.reshape(Lc, B, Pc * bt)
+        ev = router.to_var(e).reshape(Lc, B, Pc * bt)
         terms = [ev[:, i] for i in range(B)]
         zeros = jnp.zeros_like(terms[0])
         pre = [zeros] * B
@@ -297,8 +340,8 @@ def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
         full = (pre[-1] + suf[-1]) + terms[-1]
         outs = [prior_llr + jnp.where(last, full, pre[i] + suf[i])
                 for i in range(B)]
-        vv = jnp.stack(outs, axis=1).reshape(NB, Pc, bt)
-        return _batched_roll(to_chk, vv).reshape(NB * Pc, bt)
+        vv = jnp.stack(outs, axis=1).reshape(NB * Pc, bt)
+        return router.to_chk(vv)
 
     def not_conv(v):
         local = jnp.any(jnp.abs(v) < band, axis=0)
@@ -323,8 +366,7 @@ def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
 
 
 def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
-                     prior: jnp.ndarray, to_var: jnp.ndarray,
-                     to_chk: jnp.ndarray, cfg: BPConfig):
+                     prior: jnp.ndarray, router: ShardRouter, cfg: BPConfig):
     """Per-device LAYERED normalized min-sum over the local Lc block-columns
     (serial block-row schedule, decoder/layered.py rules); runs inside
     shard_map.
@@ -353,15 +395,11 @@ def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     r0 = jnp.zeros((B * Lc * Pc, bt), jnp.float32) + 0.0 * q0[:1]
     done0 = jnp.any(syndrome < 0, axis=0)
 
-    def layer_stack(mats, b):
-        # roll stacks are (Lc*B, P, P) in (l, b) order -> layer b's (Lc, P, P)
-        return mats[b::B]
-
     def sweep(q, r):
         """One full iteration: serial pass over the B block-row layers."""
         for b in range(B):
             sgn_b = syn_sign[b * Pc:(b + 1) * Pc]            # (P, bt)
-            tc = _batched_roll(layer_stack(to_chk, b), q.reshape(Lc, Pc, bt))
+            tc = router.layer_to_chk(b, q).reshape(Lc, Pc, bt)
             r_b = jax.lax.slice_in_dim(
                 r, b * Lc * Pc, (b + 1) * Lc * Pc, axis=0).reshape(Lc, Pc, bt)
             t = tc - r_b                                      # leave-out own msg
@@ -389,8 +427,8 @@ def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
                 r_new = cfg.min_sum_alpha * sgn_b * loo_sgn * loo_min
                 r_blocks.append(r_new)
                 q_blocks.append(t[i] + r_new)
-            q = _batched_roll(layer_stack(to_var, b),
-                              jnp.stack(q_blocks)).reshape(Lc * Pc, bt)
+            q = router.layer_to_var(
+                b, jnp.stack(q_blocks).reshape(Lc * Pc, bt))
             r = jnp.concatenate([
                 jax.lax.slice_in_dim(r, 0, b * Lc * Pc, axis=0),
                 jnp.stack(r_blocks).reshape(Lc * Pc, bt),
@@ -404,10 +442,10 @@ def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
         syndrome.  Local per-block-row sign-product parity, combined across
         shards as one psum of parity BITS (mod 2) — the cross-shard image of
         decoder/layered.syndrome_satisfied."""
-        d_sign = jnp.where(q <= 0.0, -1.0, 1.0).reshape(Lc, Pc, bt)
+        d_sign = jnp.where(q <= 0.0, -1.0, 1.0)
         rows = []
         for b in range(B):
-            blk = _batched_roll(layer_stack(to_chk, b), d_sign)  # (Lc, P, bt)
+            blk = router.layer_to_chk(b, d_sign).reshape(Lc, Pc, bt)
             parity = blk[0]
             for i in range(1, Lc):
                 parity = parity * blk[i]
@@ -437,15 +475,14 @@ def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     return q_final, n_final
 
 
-def _decode_one_graph_sharded(graph, Lc, syndrome, prior, to_var, to_chk, cfg):
+def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg):
     """Local decisions + flags for one graph.  Returns
     (decisions (Lc*P, bt) var-order, conv_fail (bt,), syn_fail (bt,), iters)."""
     B, Pc = graph.B, graph.P
     bt = syndrome.shape[-1]
     NB = Lc * B
     if cfg.algorithm == "layered-min-sum":
-        q, iters = _sharded_layered(graph, Lc, syndrome, prior, to_var,
-                                    to_chk, cfg)
+        q, iters = _sharded_layered(graph, Lc, syndrome, prior, router, cfg)
         # layered maintains posteriors natively: hard decision is q <= 0;
         # conv_fail is derived from the common re-encode below (layered
         # "failed to converge" === hard decision violates the syndrome,
@@ -455,31 +492,30 @@ def _decode_one_graph_sharded(graph, Lc, syndrome, prior, to_var, to_chk, cfg):
     elif cfg.algorithm == "min-sum":
         from qec_ldpc_tpu.decoder.min_sum import np_log_band
 
-        v, iters = _sharded_min_sum(graph, Lc, syndrome, prior, to_var,
-                                    to_chk, cfg)
+        v, iters = _sharded_min_sum(graph, Lc, syndrome, prior, router, cfg)
         # LLR images of the probability-domain semantics (decoder/decode.py)
-        vv = _batched_roll(to_var, v.reshape(NB, Pc, bt)).reshape(Lc, B, Pc, bt)
+        vv = router.to_var(v).reshape(Lc, B, Pc, bt)
         decisions = jnp.any(vv <= 0.0, axis=1)                # (Lc, P, bt)
         band = float(np_log_band(cfg.conv_low))
         conv_fail = jax.lax.pmax(
             jnp.any(jnp.abs(v) < band, axis=0).astype(jnp.int32),
             GRAPH_AXIS) > 0
     else:
-        v, iters = _sharded_bp(graph, Lc, syndrome, prior, to_var, to_chk, cfg)
+        v, iters = _sharded_bp(graph, Lc, syndrome, prior, router, cfg)
         # hard decision per local var: any incident message >= 0.5
-        vv = _batched_roll(to_var, v.reshape(NB, Pc, bt)).reshape(Lc, B, Pc, bt)
+        vv = router.to_var(v).reshape(Lc, B, Pc, bt)
         decisions = jnp.any(vv >= cfg.hard_threshold, axis=1)  # (Lc, P, bt)
         # convergence-fail: some local message in band on ANY shard
         inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
         conv_fail = jax.lax.pmax(
             jnp.any(inside, axis=0).astype(jnp.int32), GRAPH_AXIS) > 0
     # re-encode: partial syndrome from local cols, psum mod 2 over shards
-    d_f = decisions.astype(jnp.float32).reshape(Lc, 1, Pc, bt)
-    d_rep = jnp.broadcast_to(d_f, (Lc, B, Pc, bt)).reshape(NB, Pc, bt)
-    contrib = _batched_roll(to_chk, d_rep).reshape(Lc, B, Pc * bt)
+    d_f = decisions.astype(jnp.int32).reshape(Lc, 1, Pc, bt)
+    d_rep = jnp.broadcast_to(d_f, (Lc, B, Pc, bt)).reshape(NB * Pc, bt)
+    contrib = router.to_chk(d_rep).reshape(Lc, B, Pc * bt)
     partial = jnp.sum(contrib, axis=0)                        # (B, P*bt)
     total = jax.lax.psum(partial, GRAPH_AXIS)
-    s_hat = jnp.mod(total.astype(jnp.int32), 2).reshape(B * Pc, bt)
+    s_hat = jnp.mod(total, 2).reshape(B * Pc, bt)
     syn_fail = jnp.any(s_hat != syndrome, axis=0)
     if conv_fail is None:  # layered: convergence failure == syndrome failure
         conv_fail = syn_fail
@@ -500,17 +536,17 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
     if L % G != 0:
         raise ValueError(f"graph axis size {G} must divide L={L}")
     Lc = L // G
-    xv, xc = _roll_operands(graphs.x)
-    zv, zc = _roll_operands(graphs.z)
+    x_router = ShardRouter(graphs.x, Lc, G)
+    z_router = ShardRouter(graphs.z, Lc, G)
     if cfg.algorithm not in ("sum-product", "min-sum", "layered-min-sum"):
         raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
 
-    def shard_fn(sx, sz, p, xv, xc, zv, zc):
+    def shard_fn(sx, sz, p):
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)
         dx, cfx, sfx, itx = _decode_one_graph_sharded(
-            graphs.x, Lc, sx, prior, xv, xc, cfg)
+            graphs.x, Lc, sx, prior, x_router, cfg)
         dz, cfz, sfz, itz = _decode_one_graph_sharded(
-            graphs.z, Lc, sz, prior, zv, zc, cfg)
+            graphs.z, Lc, sz, prior, z_router, cfg)
         code = (
             sfx.astype(jnp.int32) * SYNDROME_FAIL_X
             + sfz.astype(jnp.int32) * SYNDROME_FAIL_Z
@@ -529,10 +565,6 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
             P(None, DATA_AXIS),           # syndrome_x: checks replicated
             P(None, DATA_AXIS),           # syndrome_z
             P(),                          # error probability
-            P(GRAPH_AXIS, None, None),    # per-device roll stacks
-            P(GRAPH_AXIS, None, None),
-            P(GRAPH_AXIS, None, None),
-            P(GRAPH_AXIS, None, None),
         ),
         out_specs=(
             P(GRAPH_AXIS, DATA_AXIS),     # decisions_x: vars split over graph
@@ -542,10 +574,9 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
         ),
     )
     jitted = jax.jit(mapped)
-    xv_j, xc_j, zv_j, zc_j = map(jnp.asarray, (xv, xc, zv, zc))
 
     def decode(syndrome_x, syndrome_z, error_probability):
         return jitted(syndrome_x, syndrome_z,
-                      jnp.float32(error_probability), xv_j, xc_j, zv_j, zc_j)
+                      jnp.float32(error_probability))
 
     return decode

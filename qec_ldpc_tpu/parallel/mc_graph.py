@@ -40,8 +40,8 @@ from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.lifted import LiftedGraph
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
 from qec_ldpc_tpu.parallel.graph_sharded import (
+    ShardRouter,
     _decode_one_graph_sharded,
-    _roll_operands,
 )
 from qec_ldpc_tpu.parallel.lifted_sharded import ShardedLiftedGraph, _decode_one
 from qec_ldpc_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS
@@ -94,17 +94,13 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
         if L % G != 0:
             raise ValueError(f"graph axis size {G} must divide L={L}")
         Lc = L // G
-        xv, xc = map(jnp.asarray, _roll_operands(graphs.x))
-        zv, zc = map(jnp.asarray, _roll_operands(graphs.z))
-        operands = (xv, xc, zv, zc)
-        operand_specs = (P(GRAPH_AXIS, None, None),) * 4
+        x_router = ShardRouter(graphs.x, Lc, G)
+        z_router = ShardRouter(graphs.z, Lc, G)
     else:
         if not isinstance(graphs.x, LiftedGraph):
             raise ValueError(f"unsupported graph type {type(graphs.x)!r}")
         ax = ShardedLiftedGraph(graphs.x, G)
         az = ShardedLiftedGraph(graphs.z, G)
-        operands = ()
-        operand_specs = ()
     n = graphs.code.n
 
     def sample(ck, error_probability):
@@ -115,17 +111,16 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
                                               batch_per_device)
         raise ValueError(f"unknown error model {error_model!r}")
 
-    def decode_full(sx, sz, error_probability, ops):
+    def decode_full(sx, sz, error_probability):
         """Graph-sharded decode of full (replicated-over-graph) syndromes;
         returns decisions gathered back to GLOBAL variable order."""
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(
             error_probability, jnp.float32)
         if circulant:
-            xv_l, xc_l, zv_l, zc_l = ops
             dx_l, cfx, sfx, itx = _decode_one_graph_sharded(
-                graphs.x, Lc, sx, prior, xv_l, xc_l, cfg)
+                graphs.x, Lc, sx, prior, x_router, cfg)
             dz_l, cfz, sfz, itz = _decode_one_graph_sharded(
-                graphs.z, Lc, sz, prior, zv_l, zc_l, cfg)
+                graphs.z, Lc, sz, prior, z_router, cfg)
             # device g owns block-columns [g*Lc, (g+1)*Lc): tiled gather IS
             # global variable order
             dx = lax.all_gather(dx_l, GRAPH_AXIS, axis=0, tiled=True)
@@ -151,7 +146,7 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
         code = _error_code(sfx, sfz, cfx, cfz)
         return dx, dz, code, jnp.stack([itx, itz])
 
-    def shard_fn(i_minus_p, key, error_probability, chunk_ids, *ops):
+    def shard_fn(i_minus_p, key, error_probability, chunk_ids):
         didx = lax.axis_index(DATA_AXIS)
 
         def body(carry, c):
@@ -166,7 +161,7 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
             # single-device graph objects route with static rolls)
             sx = graphs.x.syndrome(xe_i)
             sz = graphs.z.syndrome(ze_i)
-            dx, dz, code, its = decode_full(sx, sz, error_probability, ops)
+            dx, dz, code, its = decode_full(sx, sz, error_probability)
             cnt = classify_batch(i_minus_p, xe_i, ze_i,
                                  dx.astype(jnp.int32), dz.astype(jnp.int32),
                                  code)
@@ -180,7 +175,7 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
 
     mapped = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P()) + operand_specs,
+        in_specs=(P(), P(), P(), P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -189,6 +184,6 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     def chunk_fn(i_minus_p, key, error_probability, chunk_ids, consts=None):
         # consts (Pallas roll operands) are meaningless here — the engines
         # are XLA loops; accepted for signature parity with make_sharded_chunk
-        return jitted(i_minus_p, key, error_probability, chunk_ids, *operands)
+        return jitted(i_minus_p, key, error_probability, chunk_ids)
 
     return chunk_fn

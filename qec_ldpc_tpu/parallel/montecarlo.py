@@ -51,7 +51,7 @@ def _resolve_logical_test(graphs: CodeGraphs, i_minus_p):
 def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
                        error_probability, cfg: BPConfig, batch: int,
                        error_model: str, consts=None,
-                       relay_retries: int = 0):
+                       relay_retries: int = 0, mesh: Mesh | None = None):
     """The shared device pipeline: sample errors -> syndromes -> decode
     (ensemble-relay-repaired when ``relay_retries > 0``, decoder/relay.py).
     Returns (xe, ze, sx, sz, res) with errors as int32.
@@ -67,6 +67,12 @@ def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
         xe, ze = sample_depolarizing_errors(key, n, error_probability, batch)
     else:
         raise ValueError(f"unknown error model {error_model!r}")
+    if mesh is not None:
+        # batch axis over the data mesh axis; GSPMD propagates through the
+        # whole (batch-elementwise) decode — value-identical to unsharded
+        shard = jax.sharding.NamedSharding(mesh, P(None, DATA_AXIS))
+        xe = jax.lax.with_sharding_constraint(xe, shard)
+        ze = jax.lax.with_sharding_constraint(ze, shard)
     xe_i = xe.astype(jnp.int32)
     ze_i = ze.astype(jnp.int32)
     sx = graphs.x.syndrome(xe_i)
@@ -189,19 +195,25 @@ def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
 
 
 @partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch",
-                                   "error_model", "relay_retries"))
+                                   "error_model", "relay_retries", "mesh"))
 def mc_chunk_arrays(graphs: CodeGraphs, key: jax.Array, weight: int,
                     error_probability, cfg: BPConfig, batch: int,
                     error_model: str = "weight", relay_retries: int = 0,
-                    consts=None):
+                    consts=None, mesh: Mesh | None = None):
     """Sample + decode one batch, returning the full per-lane arrays
     (errors, syndromes, DecodeResult) instead of classified counters — the
     device half of host post-processing paths (OSD).  ``relay_retries > 0``
     first repairs BP failures on device with the ensemble relay decoder
-    (decoder/relay.py) before anything reaches the host."""
+    (decoder/relay.py) before anything reaches the host.
+
+    ``mesh``: when given, the sampled error batch is sharding-constrained
+    over the mesh's ``data`` axis and GSPMD partitions the whole pipeline
+    (every decode op is batch-elementwise or a row reduction) — the sample
+    stream derives from ONE key regardless of the mesh, so results are
+    BIT-IDENTICAL to the single-device call and journal resume composes."""
     xe_i, ze_i, sx, sz, res = _sample_and_decode(
         graphs, key, weight, error_probability, cfg, batch, error_model,
-        consts, relay_retries)
+        consts, relay_retries, mesh=mesh)
     # int8 narrowing: these arrays round-trip to the host per chunk
     return (xe_i.astype(jnp.int8), ze_i.astype(jnp.int8),
             sx.astype(jnp.int8), sz.astype(jnp.int8), res)
@@ -220,6 +232,9 @@ def run_monte_carlo_osd(
     progress: "callable | None" = None,
     relay_retries: int = 0,
     i_minus_p=None,
+    mesh: Mesh | None = None,
+    start_chunk: int = 0,
+    init_counters: np.ndarray | None = None,
 ):
     """Monte-Carlo statistics with repair of BP failures (the QUALITY mode).
 
@@ -241,11 +256,24 @@ def run_monte_carlo_osd(
     native GF(2) matvec) since spliced decisions live there anyway; prefer
     :func:`run_monte_carlo` for pure-throughput runs where failures are only
     counted, not repaired.
+
+    Scale-out (VERDICT r2 #9): ``mesh`` shards the device half of each chunk
+    over the mesh's ``data`` axis via GSPMD (one key per chunk regardless of
+    the partition, so counters are BIT-IDENTICAL to the single-device run);
+    OSD still post-processes failed lanes on the host.  ``start_chunk`` /
+    ``init_counters`` resume from a journal of POST-repair counters (chunks,
+    not dispatch groups — each OSD chunk round-trips the host).  Multi-host
+    (multi-process) OSD is not supported: the host splice needs the full
+    batch addressable.
     """
     import dataclasses as _dc
 
     from qec_ldpc_tpu.sampling.classify import classify_batch_np
 
+    if mesh is not None and jax.process_count() > 1:
+        raise ValueError("OSD quality mode is single-process (the host "
+                         "splice needs the whole batch addressable); "
+                         "multi-host runs must use relay-only quality mode")
     if lam >= 0:
         from qec_ldpc_tpu.decoder.osd import CSSPostprocessor
 
@@ -257,13 +285,15 @@ def run_monte_carlo_osd(
     i_minus_p = _resolve_logical_test(graphs, i_minus_p)
     key = jax.random.PRNGKey(seed)
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
+    if init_counters is not None:
+        totals += np.asarray(init_counters, dtype=np.int64)
     total_iters = 0
     num_chunks = -(-count // batch_size)
-    for c in range(num_chunks):
+    for c in range(start_chunk, num_chunks):
         ck = jax.random.fold_in(key, np.uint32(c))
         xe, ze, sx, sz, res = mc_chunk_arrays(
             graphs, ck, weight, jnp.float32(error_probability), cfg,
-            batch_size, error_model, relay_retries, consts)
+            batch_size, error_model, relay_retries, consts, mesh)
         if post is not None:
             dx, dz, ec = post.apply(np.asarray(sx), np.asarray(sz), res)
         else:
