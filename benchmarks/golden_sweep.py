@@ -37,13 +37,17 @@ def read_golden_points():
     from qec_ldpc_tpu.harness import parse_reference_text
 
     points = []
-    for path in sorted(glob.glob(os.path.join(REF_DIR, "*.txt"))):
+    # glob.escape: the corpus directory name is [4,5,10,61,9,49] — a literal
+    # bracket expression that glob would otherwise parse as a char class
+    for path in sorted(glob.glob(os.path.join(glob.escape(REF_DIR), "*.txt"))):
         m = NAME_RE.search(os.path.basename(path))
         if not m:
             continue
-        rec = parse_reference_text(open(path).read())[0]
+        recs = parse_reference_text(open(path).read())
+        if not recs:  # one corpus file (W_60_MAX_100000) is empty
+            continue
         points.append((int(m.group(1)), int(m.group(2)), float(m.group(3)),
-                       rec))
+                       recs[0]))
     return points
 
 
@@ -54,15 +58,47 @@ def main(out_path: str = "benchmarks/data/golden_sweep_r3.jsonl") -> int:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    import jax.numpy as jnp
+    from functools import partial
+
     from qec_ldpc_tpu.codes import construct_code
     from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
-    from qec_ldpc_tpu.parallel.montecarlo import run_monte_carlo
+    from qec_ldpc_tpu.decoder.decode import decode_batch, kernel_consts
+    from qec_ldpc_tpu.sampling import (
+        NUM_COUNTERS,
+        classify_batch,
+        sample_weight_w_errors_dynamic,
+    )
     from qec_ldpc_tpu.sampling.classify import make_rank_basis_test
 
     code = construct_code(4, 5, 10, 61, 9, 49)
     graphs = CodeGraphs.build(code)
     ltest = make_rank_basis_test(code)
     kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
+    W_MAX = 64  # corpus tops out at W=58
+
+    # ONE compiled program per distinct chunk count for the WHOLE sweep:
+    # weight is a runtime value via the dynamic sampler, p is traced, so the
+    # 120 points do not cost 120 slow remote TPU compilations.
+    @partial(jax.jit, static_argnames=("cfg", "batch", "num_chunks"))
+    def sweep_point(lt, consts, key, weight, p, cfg, batch, num_chunks):
+        def body(counters, c):
+            ck = jax.random.fold_in(key, c)
+            xe, ze = sample_weight_w_errors_dynamic(
+                ck, graphs.code.n, weight, W_MAX, batch)
+            xe_i, ze_i = xe.astype(jnp.int32), ze.astype(jnp.int32)
+            sx = graphs.x.syndrome(xe_i)
+            sz = graphs.z.syndrome(ze_i)
+            res = decode_batch(graphs, sx, sz, p, cfg, consts=consts)
+            cnt = classify_batch(lt, xe_i, ze_i,
+                                 res.decisions_x.astype(jnp.int32),
+                                 res.decisions_z.astype(jnp.int32),
+                                 res.error_code)
+            return counters + cnt, None
+        init = jnp.zeros(NUM_COUNTERS, jnp.int32)
+        counters, _ = jax.lax.scan(
+            body, init, jnp.arange(num_chunks, dtype=jnp.uint32))
+        return counters
 
     points = read_golden_points()
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -73,18 +109,38 @@ def main(out_path: str = "benchmarks/data/golden_sweep_r3.jsonl") -> int:
         ref_corrected = int(ref["Corrected"])
         # one device dispatch per point: count rounded up to whole chunks
         batch = 2048
-        count = ref_tested
         cfg = BPConfig(max_iters=max_iters, kernel=kernel)
+        consts = kernel_consts(graphs, cfg)
+        num_chunks = -(-ref_tested // batch)
         t0 = time.perf_counter()
-        counters, iters = run_monte_carlo(
-            graphs, w, count, p, cfg, seed=1000 + w, batch_size=batch,
-            steps_per_call=64, i_minus_p=ltest)
+        counters = np.asarray(sweep_point(
+            ltest, consts, jax.random.PRNGKey(1000 + w), jnp.int32(w),
+            jnp.float32(p), cfg, batch, num_chunks))
         dt = time.perf_counter() - t0
         tested = int(counters[0])
         pr = ref_corrected / ref_tested
         po = int(counters[3]) / tested
-        sigma = float(np.sqrt(pr * (1 - pr) / ref_tested
-                              + po * (1 - po) / tested)) or 1e-9
+
+        def z(p_ours, n_ours):
+            sigma = float(np.sqrt(pr * (1 - pr) / ref_tested
+                                  + p_ours * (1 - p_ours) / n_ours)) or 1e-9
+            return round((p_ours - pr) / sigma, 3)
+
+        # provenance correction (round-2 finding, ARCHITECTURE.md testing
+        # notes): the reference's p_0.01-labeled [[610]] runs were evidently
+        # generated with prior p=0.02 (their fractions are statistically
+        # identical to the p_0.02 files), so for those points we ALSO decode
+        # at 0.02 — the apples-to-apples prior — and gate on that z.
+        corrected_extra = {}
+        if p == 0.01:
+            c2 = np.asarray(sweep_point(
+                ltest, consts, jax.random.PRNGKey(1000 + w), jnp.int32(w),
+                jnp.float32(0.02), cfg, batch, num_chunks))
+            po2 = int(c2[3]) / int(c2[0])
+            corrected_extra = {
+                "ours_corrected_fraction_prior002": round(po2, 6),
+                "z_score_prior002": z(po2, int(c2[0])),
+            }
         rec = {
             "weight": w, "p": p, "max_iters": max_iters,
             "ref_tested": ref_tested, "ref_corrected": ref_corrected,
@@ -96,13 +152,16 @@ def main(out_path: str = "benchmarks/data/golden_sweep_r3.jsonl") -> int:
             "ours_syn_x": int(counters[4]), "ours_syn_z": int(counters[5]),
             "ref_corrected_fraction": round(pr, 6),
             "ours_corrected_fraction": round(po, 6),
-            "z_score": round((po - pr) / sigma, 3),
+            "z_score": z(po, tested),
+            **corrected_extra,
             "seconds": round(dt, 3),
         }
         records.append(rec)
         print(f"[{i + 1}/{len(points)}] W={w} p={p}: ref {pr:.4f} "
-              f"ours {po:.4f} z={rec['z_score']:+.2f} ({dt:.1f}s)",
-              flush=True)
+              f"ours {po:.4f} z={rec['z_score']:+.2f}"
+              + (f" z@0.02={rec['z_score_prior002']:+.2f}"
+                 if corrected_extra else "")
+              + f" ({dt:.1f}s)", flush=True)
     with open(out_path, "w") as f:
         meta = {
             "artifact": "golden_sweep", "code": str(code),
@@ -112,14 +171,19 @@ def main(out_path: str = "benchmarks/data/golden_sweep_r3.jsonl") -> int:
             "total_seconds": round(time.perf_counter() - t_all, 1),
             "note": ("apples-to-apples plain BP vs the reference corpus; "
                      "p=0.02 golden files hold only 1000 samples each "
-                     "(3x the binomial noise of the p=0.01 files)"),
+                     "(3x the binomial noise of the p=0.01 files); the "
+                     "p_0.01-labeled reference runs were generated with "
+                     "prior p=0.02 (round-2 provenance finding), so those "
+                     "points carry a z_score_prior002 field decoded at the "
+                     "true generation prior — the parity gate"),
         }
         f.write(json.dumps(meta) + "\n")
         for rec in records:
             f.write(json.dumps(rec) + "\n")
-    zs = np.array([abs(r["z_score"]) for r in records])
-    print(f"wrote {out_path}: {len(records)} points, median |z| = "
-          f"{np.median(zs):.2f}, max |z| = {zs.max():.2f}")
+    zs = np.array([abs(r.get("z_score_prior002", r["z_score"]))
+                   for r in records])
+    print(f"wrote {out_path}: {len(records)} points, provenance-corrected "
+          f"median |z| = {np.median(zs):.2f}, max |z| = {zs.max():.2f}")
     return 0
 
 

@@ -106,22 +106,66 @@ class ShardedLiftedGraph:
         """out[r] = x[(r + shift) % (l, m)] on a LOCAL (lc*m, batch) chunk.
         m-axis component is a local static roll; l-axis component fetches the
         two source bands via ppermute and stitches them."""
-        a, b = shift
-        y = x.reshape(self.lc, self.m, *x.shape[1:])
-        if b:
-            y = jnp.roll(y, -b, axis=1)
-        a %= self.l
-        if a:
+        return self._roll_many([x], [shift])[0]
+
+    def _roll_many(self, xs: list[jnp.ndarray],
+                   shifts: list[tuple[int, int]]) -> list[jnp.ndarray]:
+        """Batched halo exchange: roll each local chunk ``xs[e]`` by
+        ``shifts[e]``, with ALL blocks' ppermutes grouped by ring offset.
+
+        A block's l-shift ``a`` decomposes as (d, r) = divmod(a, lc): it
+        needs the band from ``d`` ring positions ahead and (when r != 0)
+        also from ``d+1``.  Naively that is up to 2 ppermutes PER edge block
+        per routing direction; here every block needing the same source
+        offset rides ONE ppermute of a concatenated tensor, so an iteration
+        pays O(#distinct offsets) collectives (typically 2-3: offsets 0/1
+        for nearest-neighbor shifts) instead of O(edge blocks).  Collective
+        BYTES are unchanged — this cuts per-collective launch/rendezvous
+        latency, the dominant term for small lifted codes on ICI.
+        Bit-identical to per-block rolls (same permutation, same stitch).
+        """
+        n = len(xs)
+        ys, decomp = [], []
+        for e in range(n):
+            a, b = shifts[e]
+            y = xs[e].reshape(self.lc, self.m, *xs[e].shape[1:])
+            if b:
+                y = jnp.roll(y, -b, axis=1)
+            a %= self.l
             d, r = divmod(a, self.lc)
-            recv_d = self._shift_bands(y, d)
+            ys.append(y)
+            decomp.append((d, r))
+        # offset -> list of block ids whose source band lives there
+        needed: dict[int, list[int]] = {}
+        for e, (d, r) in enumerate(decomp):
+            needed.setdefault(d % self.G, []).append(e)
             if r:
-                recv_d1 = self._shift_bands(y, d + 1)
+                needed.setdefault((d + 1) % self.G, []).append(e)
+        recv: dict[tuple[int, int], jnp.ndarray] = {}
+        for off in sorted(needed):
+            es = needed[off]
+            if off == 0:
+                for e in es:
+                    recv[(e, off)] = ys[e]
+                continue
+            perm = [((g + off) % self.G, g) for g in range(self.G)]
+            cat = lax.ppermute(jnp.concatenate([ys[e] for e in es], axis=0),
+                               GRAPH_AXIS, perm)
+            for i, e in enumerate(es):
+                recv[(e, off)] = lax.slice_in_dim(
+                    cat, i * self.lc, (i + 1) * self.lc, axis=0)
+        out = []
+        for e, (d, r) in enumerate(decomp):
+            recv_d = recv[(e, d % self.G)]
+            if r:
+                recv_d1 = recv[(e, (d + 1) % self.G)]
                 y = jnp.concatenate(
                     [lax.slice_in_dim(recv_d, r, self.lc, axis=0),
                      lax.slice_in_dim(recv_d1, 0, r, axis=0)], axis=0)
             else:
                 y = recv_d
-        return y.reshape(x.shape)
+            out.append(y.reshape(xs[e].shape))
+        return out
 
     # -- LiftedGraph interface (local shapes) --------------------------------
 

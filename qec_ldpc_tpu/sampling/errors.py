@@ -44,6 +44,34 @@ def sample_weight_w_errors(
     return x_errors, z_errors
 
 
+@partial(jax.jit, static_argnames=("n", "w_max", "batch"))
+def sample_weight_w_errors_dynamic(
+    key: jax.Array, n: int, weight: jax.Array, w_max: int, batch: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weight-``weight`` errors with ``weight`` as a RUNTIME value.
+
+    Same per-draw semantics as :func:`sample_weight_w_errors` (uniform
+    index, uniform type, collisions overwrite), but ``w_max`` draws are made
+    and only the first ``weight`` are active — so a whole weight sweep
+    (W = 1..w_max) runs through ONE compiled program instead of one
+    XLA program per weight (the reference recompiles nothing because it has
+    no compiler; our sweep artifact generator needs this to keep 120 remote
+    TPU compilations from dominating wall time).  For ``weight == w_max``
+    the draws are bit-identical to the static sampler with the same key.
+    """
+    k_idx, k_typ = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (w_max, batch), 0, n)
+    typ = jax.random.randint(k_typ, (w_max, batch), 0, 3)
+    active = (jnp.arange(w_max) < weight)[:, None, None]        # (W, 1, 1)
+    var_ids = jnp.arange(n, dtype=idx.dtype)[None, :, None]
+    hit = (idx[:, None, :] == var_ids) & active
+    x_draw = (typ <= 1)[:, None, :]
+    z_draw = (typ >= 1)[:, None, :]
+    x_errors = jnp.any(hit & x_draw, axis=0).astype(jnp.int8)
+    z_errors = jnp.any(hit & z_draw, axis=0).astype(jnp.int8)
+    return x_errors, z_errors
+
+
 @partial(jax.jit, static_argnames=("n", "batch"))
 def sample_depolarizing_errors(
     key: jax.Array, n: int, p: float | jax.Array, batch: int

@@ -117,3 +117,35 @@ def test_logical_test_override(small_graphs):
     assert np.array_equal(ref[4:6], phy[4:6])  # syndrome fails identical
     assert phy[6] <= ref[6]                    # logical count can only drop
     assert phy[3] >= ref[3]                    # corrected can only grow
+
+
+def test_dynamic_weight_sampler():
+    """sample_weight_w_errors_dynamic: weight is a runtime value (one
+    compiled program per sweep); at weight == w_max it is bit-identical to
+    the static sampler, and masked slots only ever reduce the error."""
+    import jax
+    import jax.numpy as jnp
+
+    from qec_ldpc_tpu.sampling import (
+        sample_weight_w_errors,
+        sample_weight_w_errors_dynamic,
+    )
+
+    key = jax.random.PRNGKey(5)
+    n, w_max, batch = 42, 12, 64
+    xs, zs = sample_weight_w_errors(key, n, w_max, batch)
+    xd, zd = sample_weight_w_errors_dynamic(key, n, jnp.int32(w_max), w_max,
+                                            batch)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(xd))
+    np.testing.assert_array_equal(np.asarray(zs), np.asarray(zd))
+    # lower weights: subset support and monotone mean effective weight
+    means = []
+    for w in (1, 4, 8, 12):
+        xw, zw = sample_weight_w_errors_dynamic(key, n, jnp.int32(w), w_max,
+                                                batch)
+        sup = np.asarray(xw | zw)
+        full = np.asarray(xs | zs)
+        assert ((sup == 1) <= (full == 1)).all()  # support subset of w_max's
+        means.append(sup.sum() / batch)
+    assert means == sorted(means)
+    assert means[0] <= 1.0 and means[-1] <= w_max
