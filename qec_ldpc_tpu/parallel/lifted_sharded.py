@@ -26,6 +26,19 @@ decode is **bit-identical** to ``decode_batch`` for both min-sum and
 sum-product (asserted in tests/test_lifted_sharded.py) — stronger than the
 block-column design, whose cross-device sum-product products reassociate.
 
+**Why there is no k-iterations-per-call fused kernel between halos** (the
+r2 review floated one): the fused single-chip kernels win (5.3 ms vs
+35.6 ms) by keeping the edge state VMEM-resident ACROSS iterations — but a
+sharded iteration must surface its messages to the halo exchange every
+iteration, so a between-halos kernel could only fuse one iteration's local
+arithmetic, which XLA already fuses from the shard_map program.  Fusing k
+iterations requires deep halos (ghost regions growing by k x max-shift rows
+per step); BB shifts span most of the lift height (a=3..19 of l=21), so the
+ghost region IS the array and nothing is saved.  The productive lever at
+this layer is collective COUNT, addressed by :meth:`_roll_many` below
+(offset-grouped ppermutes).  A deep-halo kernel stays worthwhile only for
+shift<=1 families (the toric code) and is deliberately not special-cased.
+
 Mechanism: :class:`ShardedLiftedGraph` duck-types
 :class:`~qec_ldpc_tpu.decoder.lifted.LiftedGraph` with local shapes and
 halo rolls, so the *unmodified* graph-generic drivers
