@@ -300,12 +300,68 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     return all_stats
 
 
+def _config_from_flags(argv: list[str]) -> RunConfig:
+    """Flag form: ``--code <spec> [--w N] [--W N] [--count N] [--max N]
+    [--p F] [--<any-RunConfig-field> value]`` — the init file's positional
+    line expressed as flags, for ad-hoc runs without writing a file."""
+    alias = {"code": "code_file", "w": "weight_start", "W": "weight_end",
+             "count": "count", "max": "max_iterations",
+             "p": "error_probability"}
+    values: dict[str, str] = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("--"):
+            raise ValueError(f"expected --flag, got {tok!r}")
+        key = tok[2:]
+        if "=" in key:
+            key, val = key.split("=", 1)
+        else:
+            if i + 1 >= len(argv):
+                raise ValueError(f"flag {tok!r} needs a value")
+            val = argv[i + 1]
+            i += 1
+        values[alias.get(key, key)] = val
+        i += 1
+    if "code_file" not in values:
+        raise ValueError("--code <spec> is required")
+    cfg = RunConfig(
+        code_file=values.pop("code_file"),
+        weight_start=int(values.pop("weight_start", 1)),
+        weight_end=int(values.pop("weight_end",
+                                  values.get("weight_start", 1))),
+        count=int(values.pop("count", 10000)),
+        max_iterations=int(values.pop("max_iterations", 100)),
+        error_probability=float(values.pop("error_probability", 0.01)),
+    )
+    if cfg.weight_end < cfg.weight_start:
+        cfg.weight_end = cfg.weight_start
+    for k, v in values.items():
+        if not hasattr(cfg, k):
+            raise ValueError(f"unknown option --{k}")
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int) or (cur is None and k == "seed"):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        setattr(cfg, k, v)
+    return cfg
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("Usage: python -m qec_ldpc_tpu.harness.cli <init-file>", file=sys.stderr)
+        print("Usage: python -m qec_ldpc_tpu.harness.cli <init-file>\n"
+              "       python -m qec_ldpc_tpu.harness.cli --code <spec> "
+              "[--w N --W N --count N --max N --p F --<field> value ...]",
+              file=sys.stderr)
         return 2
-    cfg = load_init_file(argv[0])
+    if argv[0].startswith("--"):
+        cfg = _config_from_flags(argv)
+    else:
+        cfg = load_init_file(argv[0])
     run_sweep(cfg)
     return 0
 

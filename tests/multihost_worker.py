@@ -45,6 +45,34 @@ def main() -> int:
     from qec_ldpc_tpu.parallel import make_mesh, make_sharded_chunk
 
     mode = sys.argv[4] if len(sys.argv) > 4 else "chunk"
+    if mode == "graphchunk":
+        # (data=4 x graph=2) mesh with every graph pair SPLIT ACROSS the two
+        # processes, so the per-iteration halo all_gather rides the process
+        # boundary (the DCN path of a real multi-slice run).  Counters must
+        # bit-match a single-process mesh of the same shape (min-sum).
+        from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+        from qec_ldpc_tpu.parallel import make_graph_sharded_chunk, make_mesh
+        from qec_ldpc_tpu.sampling.classify import make_rank_basis_test
+
+        code = construct_code(3, 3, 6, 7, 2, 3)
+        graphs = CodeGraphs.build(code)
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        half = len(devs) // 2
+        # interleave: each data row = (one proc-0 device, one proc-1 device)
+        order = [d for pair in zip(devs[:half], devs[half:]) for d in pair]
+        mesh = make_mesh(num_data=4, num_graph=2, devices=order)
+        fn = make_graph_sharded_chunk(
+            mesh, graphs, weight=2,
+            cfg=BPConfig(max_iters=20, algorithm="min-sum"),
+            batch_per_device=16)
+        test = make_rank_basis_test(code)
+        counters, _ = fn(test, jax.random.PRNGKey(7), jnp.float32(0.02),
+                         jnp.arange(2, dtype=jnp.uint32))
+        print("COUNTERS",
+              ",".join(map(str, np.asarray(counters).tolist())), flush=True)
+        jax.distributed.shutdown()
+        return 0
+
     if mode == "cli":
         # full harness path over the process-spanning mesh: process-0-only
         # writes, broadcast seed/resume, replicated stats on every process

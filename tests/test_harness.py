@@ -185,3 +185,30 @@ def test_run_sweep_osd_journal_resume_and_mesh(tmp_path, small_code_file):
     assert len(open(f"{tmp_path}/results/journal.jsonl").readlines()) == journal_len
     # log records the resume
     assert "resuming" in open(f"{tmp_path}/log.txt").read()
+
+
+def test_cli_flag_form(tmp_path):
+    """The documented --code flag form of the CLI (no init file needed)."""
+    from qec_ldpc_tpu.harness.cli import main
+
+    rc = main(["--code", "qc:3,3,6,7,2,3", "--w", "2", "--count", "64",
+               "--max", "20", "--p", "0.02", "--seed", "5",
+               "--batch_size", "32", "--algorithm", "min-sum",
+               f"--results_dir={tmp_path}/results",
+               f"--log_file={tmp_path}/log.txt"])
+    assert rc == 0
+    out = list((tmp_path / "results").glob("*_W_2_MAX_20_p_0.02.txt"))
+    assert len(out) == 1
+    rec = parse_reference_text(open(out[0]).read())[0]
+    assert rec["Errors Tested"] == "64"
+
+
+def test_cli_flag_form_errors():
+    from qec_ldpc_tpu.harness.cli import _config_from_flags
+
+    with pytest.raises(ValueError, match="--code"):
+        _config_from_flags(["--w", "3"])
+    with pytest.raises(ValueError, match="unknown option"):
+        _config_from_flags(["--code", "x", "--bogus", "1"])
+    with pytest.raises(ValueError, match="needs a value"):
+        _config_from_flags(["--code"])

@@ -158,3 +158,13 @@ def test_cli_num_graph_rejects_quality_modes(tmp_path, small_code_file):
                     f"results_dir={tmp_path}/r log_file={tmp_path}/log.txt\n")
     with pytest.raises(ValueError, match="data-parallel-only"):
         run_sweep(load_init_file(str(init)))
+
+
+def test_depolarizing_model_bitmatch(qc7):
+    _, graphs, test = qc7
+    cfg = BPConfig(max_iters=20, algorithm="min-sum")
+    cd, _ = _counters(graphs, test, cfg, num_graph=1, weight=0, p=0.03,
+                      error_model="depolarizing")
+    cg, _ = _counters(graphs, test, cfg, num_graph=2, weight=0, p=0.03,
+                      error_model="depolarizing")
+    np.testing.assert_array_equal(cd, cg)

@@ -124,3 +124,53 @@ def test_two_process_cli_single_writer(tmp_path):
     # single log header (one writer appended one timestamp block)
     log_text = open(os.path.join(results_dir, "log.txt")).read()
     assert log_text.count("Run complete.") == 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_two_process_graph_sharded_statistics(small_code):
+    """Graph-parallel Monte-Carlo statistics with the graph axis SPLIT
+    ACROSS processes: every CN-halo all_gather crosses the jax.distributed
+    boundary (the DCN path).  Counters must bit-match a single-process
+    (data=4, graph=2) mesh — min-sum cross-shard reductions are exact and
+    sample keys depend only on the data index."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", "2", str(i),
+             "graphchunk"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    counters = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("COUNTERS")][0]
+        counters.append([int(x) for x in line.split()[1].split(",")])
+    assert counters[0] == counters[1]
+
+    # single-process reference with the same mesh shape
+    import jax.numpy as jnp
+
+    from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+    from qec_ldpc_tpu.parallel import make_graph_sharded_chunk, make_mesh
+    from qec_ldpc_tpu.sampling.classify import make_rank_basis_test
+
+    graphs = CodeGraphs.build(small_code)
+    mesh = make_mesh(num_data=4, num_graph=2)
+    fn = make_graph_sharded_chunk(
+        mesh, graphs, weight=2,
+        cfg=BPConfig(max_iters=20, algorithm="min-sum"), batch_per_device=16)
+    ref, _ = fn(make_rank_basis_test(small_code), jax.random.PRNGKey(7),
+                jnp.float32(0.02), jnp.arange(2, dtype=jnp.uint32))
+    assert counters[0] == np.asarray(ref).tolist()
