@@ -260,6 +260,21 @@ def decode_batch(
     consts=None,              # kernel_consts(graphs, cfg); see its docstring
 ) -> DecodeResult:
     if consts is None:
+        if (cfg.kernel == "pallas" and cfg.kernel_roll_impl == "mxu"
+                and isinstance(graphs.x, CirculantGraph)):
+            # the mxu roll path needs multi-MB permutation operands; when
+            # decode_batch is traced inside an OUTER jit with consts=None
+            # they become giant HLO constants (slow, uncacheable remote
+            # compiles — the exact trap kernel_consts exists to avoid)
+            import warnings
+
+            warnings.warn(
+                "decode_batch(cfg.kernel_roll_impl='mxu') called with "
+                "consts=None: the roll operands are being fabricated at "
+                "trace time and will be baked into the HLO as multi-MB "
+                "constants. Fetch kernel_consts(graphs, cfg) OUTSIDE the "
+                "enclosing jit and pass it via consts=.",
+                stacklevel=2)
         consts = kernel_consts(graphs, cfg)
     prior = jnp.float32(cfg.prior_factor) * jnp.asarray(error_probability, jnp.float32)
     dx, cfx, sfx, itx, isx, softx = _decode_one_graph(

@@ -219,3 +219,29 @@ def test_lane_sorting_bit_identical(small_code, small_graphs, algorithm):
                           np.asarray(res_s.decisions_z))
     assert np.array_equal(np.asarray(res_u.error_code),
                           np.asarray(res_s.error_code))
+
+
+def test_mxu_consts_none_warns(small_graphs):
+    """VERDICT r2 weak #6: decode_batch with the mxu roll path and
+    consts=None fabricates multi-MB HLO constants at trace time — must warn
+    loudly.  The default shift path stays silent (no operands needed)."""
+    import warnings
+
+    import jax.numpy as jnp
+
+    from qec_ldpc_tpu.decoder import BPConfig
+    from qec_ldpc_tpu.decoder.decode import decode_batch, kernel_consts
+
+    sx = jnp.zeros((small_graphs.x.num_checks, 8), jnp.int32)
+    sz = jnp.zeros((small_graphs.z.num_checks, 8), jnp.int32)
+    mxu_cfg = BPConfig(max_iters=5, kernel="pallas", kernel_roll_impl="mxu")
+    with pytest.warns(UserWarning, match="consts=None"):
+        decode_batch(small_graphs, sx, sz, 0.01, mxu_cfg)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # explicit consts: silent
+        decode_batch(small_graphs, sx, sz, 0.01, mxu_cfg,
+                     consts=kernel_consts(small_graphs, mxu_cfg))
+        # default shift routing: silent (no operands exist)
+        decode_batch(small_graphs, sx, sz, 0.01,
+                     BPConfig(max_iters=5, kernel="pallas"))
