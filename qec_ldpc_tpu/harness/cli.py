@@ -362,7 +362,17 @@ def main(argv: list[str] | None = None) -> int:
         cfg = _config_from_flags(argv)
     else:
         cfg = load_init_file(argv[0])
-    run_sweep(cfg)
+    try:
+        run_sweep(cfg)
+    except Exception as e:
+        # reference semantics: failures are appended to the run log before
+        # the process exits (main.cu:106-112)
+        try:
+            with open(cfg.log_file, "a") as f:
+                f.write(f"{datetime.datetime.now().ctime()} ERROR: {e}\n")
+        except OSError:
+            pass
+        raise
     return 0
 
 

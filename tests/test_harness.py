@@ -212,3 +212,13 @@ def test_cli_flag_form_errors():
         _config_from_flags(["--code", "x", "--bogus", "1"])
     with pytest.raises(ValueError, match="needs a value"):
         _config_from_flags(["--code"])
+
+
+def test_cli_logs_errors_to_run_log(tmp_path):
+    """Failures append to the run log before exiting (main.cu:106-112)."""
+    from qec_ldpc_tpu.harness.cli import main
+
+    with pytest.raises(ValueError):
+        main(["--code", "qc:3,3,6", "--count", "32",
+              f"--results_dir={tmp_path}/r", f"--log_file={tmp_path}/log.txt"])
+    assert "ERROR:" in open(f"{tmp_path}/log.txt").read()
