@@ -156,8 +156,12 @@ def load_code_and_graphs(spec: str):
 
 
 def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
-    enable_persistent_compile_cache()
+    # distributed FIRST: jax.distributed.initialize must run before anything
+    # touches the backend, and enable_persistent_compile_cache calls
+    # jax.default_backend() (review finding r3 — the loopback test masked
+    # this because the worker initializes distributed itself)
     maybe_init_distributed()
+    enable_persistent_compile_cache()
     # single-writer output hygiene (main.cu:45-52,100): only process 0 opens
     # the run log / journal / results files — counters are replicated, so
     # under jax.distributed every process would otherwise write duplicates
@@ -325,17 +329,19 @@ def _config_from_flags(argv: list[str]) -> RunConfig:
         i += 1
     if "code_file" not in values:
         raise ValueError("--code <spec> is required")
+    weight_start = int(values.pop("weight_start", 1))
+    weight_end = int(values.pop("weight_end", weight_start))
+    if weight_end < weight_start:
+        raise ValueError(
+            f"--W {weight_end} is below --w {weight_start}")
     cfg = RunConfig(
         code_file=values.pop("code_file"),
-        weight_start=int(values.pop("weight_start", 1)),
-        weight_end=int(values.pop("weight_end",
-                                  values.get("weight_start", 1))),
+        weight_start=weight_start,
+        weight_end=weight_end,
         count=int(values.pop("count", 10000)),
         max_iterations=int(values.pop("max_iterations", 100)),
         error_probability=float(values.pop("error_probability", 0.01)),
     )
-    if cfg.weight_end < cfg.weight_start:
-        cfg.weight_end = cfg.weight_start
     for k, v in values.items():
         if not hasattr(cfg, k):
             raise ValueError(f"unknown option --{k}")
@@ -366,11 +372,13 @@ def main(argv: list[str] | None = None) -> int:
         run_sweep(cfg)
     except Exception as e:
         # reference semantics: failures are appended to the run log before
-        # the process exits (main.cu:106-112)
+        # the process exits (main.cu:106-112); single-writer under
+        # multi-host (only process 0 touches the shared log)
         try:
-            with open(cfg.log_file, "a") as f:
-                f.write(f"{datetime.datetime.now().ctime()} ERROR: {e}\n")
-        except OSError:
+            if jax.process_index() == 0:
+                with open(cfg.log_file, "a") as f:
+                    f.write(f"{datetime.datetime.now().ctime()} ERROR: {e}\n")
+        except Exception:
             pass
         raise
     return 0

@@ -187,32 +187,34 @@ class ShardedLiftedGraph:
 
     def to_var(self, x: jnp.ndarray) -> jnp.ndarray:
         b = self.base
-        chunks = [
-            self._roll(self._chunk(x, e), _neg(b.shifts[e], b.group))
-            for e in b._var_rank_edges
-        ]
-        return jnp.concatenate(chunks, axis=0)
+        rolled = self._roll_many(
+            [self._chunk(x, e) for e in b._var_rank_edges],
+            [_neg(b.shifts[e], b.group) for e in b._var_rank_edges])
+        return jnp.concatenate(rolled, axis=0)
 
     def to_check(self, x: jnp.ndarray) -> jnp.ndarray:
         b = self.base
-        chunks = [
-            self._roll(self._chunk(x, b._var_pos[e]), b.shifts[e])
-            for e in range(b.num_edge_blocks)
-        ]
-        return jnp.concatenate(chunks, axis=0)
+        es = range(b.num_edge_blocks)
+        rolled = self._roll_many(
+            [self._chunk(x, b._var_pos[e]) for e in es],
+            [b.shifts[e] for e in es])
+        return jnp.concatenate(rolled, axis=0)
 
     def syndrome(self, errors: jnp.ndarray) -> jnp.ndarray:
         """LOCAL checks' mod-2 syndrome of the (locally banded) error vector;
         halo rolls fetch the cross-band variables, so no reduction collective
         is needed (each check is whole on its device)."""
         b = self.base
+        es = range(b.num_edge_blocks)
+        rolled = self._roll_many(
+            [self._chunk(errors, b.var_blocks[e]) for e in es],
+            [b.shifts[e] for e in es])
         rows = []
         e = 0
         for _c in range(b.num_check_blocks):
             acc = None
             for _ in range(b.check_degree):
-                blk = self._roll(self._chunk(errors, b.var_blocks[e]),
-                                 b.shifts[e])
+                blk = rolled[e]
                 acc = blk if acc is None else acc + blk
                 e += 1
             rows.append(acc)

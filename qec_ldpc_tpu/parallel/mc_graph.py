@@ -99,6 +99,15 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     else:
         if not isinstance(graphs.x, LiftedGraph):
             raise ValueError(f"unsupported graph type {type(graphs.x)!r}")
+        for g in (graphs.x, graphs.z):
+            if g.num_check_blocks != 1:
+                # the band_slice below assumes the (single) check block's
+                # lane grid is the whole syndrome axis; multi-block graphs
+                # would straddle block boundaries (review finding r3)
+                raise ValueError(
+                    "graph-sharded statistics require one check block per "
+                    f"lifted graph (got {g.num_check_blocks}); true for BB "
+                    "and HGP codes")
         ax = ShardedLiftedGraph(graphs.x, G)
         az = ShardedLiftedGraph(graphs.z, G)
     n = graphs.code.n

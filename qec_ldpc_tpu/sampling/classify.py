@@ -82,13 +82,13 @@ def make_rank_basis_test(code, logical_test: str = "reference") -> RankBasisTest
     * BB / HGP codes (codes/{bicycle,hypergraph}.py) are physical-convention
       already (sectors hx_stab / hz_stab) under either name.
     """
+    if logical_test not in ("reference", "physical"):
+        raise ValueError(f"unknown logical_test {logical_test!r}")
     if hasattr(code, "hx_stab"):  # lifted families: one convention
         return rank_basis_test(code.hx_stab, code.hz_stab)
     if logical_test == "physical":
         return rank_basis_test(code.pcm_z, code.pcm_x)
-    if logical_test == "reference":
-        return rank_basis_test(code.pcm_x, code.pcm_z)
-    raise ValueError(f"unknown logical_test {logical_test!r}")
+    return rank_basis_test(code.pcm_x, code.pcm_z)
 
 
 def _sector_logical(basis: jnp.ndarray, pivots: jnp.ndarray,

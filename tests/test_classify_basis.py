@@ -118,3 +118,12 @@ def test_large_p_code_classifies_without_dense_matrix():
         jnp.zeros((code.n, 2), jnp.int32)], axis=0)
     np.testing.assert_array_equal(
         np.asarray(logical_error_mask_basis(test, stab)), [False, False])
+
+
+def test_invalid_logical_test_rejected_for_all_families():
+    from qec_ldpc_tpu.codes import known_bicycle_code
+
+    for code in (construct_code(3, 3, 6, 7, 2, 3),
+                 known_bicycle_code("[[72,12,6]]")):
+        with pytest.raises(ValueError, match="unknown logical_test"):
+            make_rank_basis_test(code, logical_test="physcal")

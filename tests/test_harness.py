@@ -222,3 +222,10 @@ def test_cli_logs_errors_to_run_log(tmp_path):
         main(["--code", "qc:3,3,6", "--count", "32",
               f"--results_dir={tmp_path}/r", f"--log_file={tmp_path}/log.txt"])
     assert "ERROR:" in open(f"{tmp_path}/log.txt").read()
+
+
+def test_cli_flag_form_rejects_inverted_weight_range():
+    from qec_ldpc_tpu.harness.cli import _config_from_flags
+
+    with pytest.raises(ValueError, match="below"):
+        _config_from_flags(["--code", "x", "--w", "5", "--W", "2"])
