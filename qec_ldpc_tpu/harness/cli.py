@@ -191,11 +191,13 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
 
     devices = jax.devices()
     if cfg.num_graph > 1:
-        # (data x graph) mesh: Tanner-graph sharding (BASELINE config 5)
-        if cfg.osd >= 0 or cfg.relay > 0:
+        # (data x graph) mesh: Tanner-graph sharding (BASELINE config 5).
+        # Relay composes (graph-sharded damped retries, circulant codes —
+        # parallel/mc_graph.py raises for lifted codes); host OSD does not.
+        if cfg.osd >= 0:
             raise ValueError(
-                "relay/osd quality modes are data-parallel-only; "
-                "set num_graph=1 or disable relay/osd")
+                "the host-OSD quality mode is data-parallel-only; "
+                "set num_graph=1 or disable osd (relay= composes)")
         if len(devices) < cfg.num_graph:
             raise ValueError(
                 f"num_graph={cfg.num_graph} needs at least that many "

@@ -278,7 +278,8 @@ def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
 
 
 def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
-                     prior: jnp.ndarray, router: ShardRouter, cfg: BPConfig):
+                     prior: jnp.ndarray, router: ShardRouter, cfg: BPConfig,
+                     damping: jnp.ndarray | None = None):
     """Per-device flooding normalized min-sum over the local Lc block-columns
     (LLR domain, decoder/min_sum.py rules); runs inside shard_map.
 
@@ -355,6 +356,10 @@ def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
         n, v, done = state
         e = cn(v)
         v_new = vn(e, last=(n == cfg.max_iters - 1))
+        if damping is not None:
+            # per-edge memory blend (decoder/min_sum.py damping semantics):
+            # the relay decoder's trapping-set-escape mechanism
+            v_new = damping * v + (1.0 - damping) * v_new
         v_new = jnp.where(done[None, :], v, v_new)
         check_now = (n % cfg.check_every) == 0
         conv = check_now & ~not_conv(v_new)
@@ -510,16 +515,82 @@ def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg):
         conv_fail = jax.lax.pmax(
             jnp.any(inside, axis=0).astype(jnp.int32), GRAPH_AXIS) > 0
     # re-encode: partial syndrome from local cols, psum mod 2 over shards
-    d_f = decisions.astype(jnp.int32).reshape(Lc, 1, Pc, bt)
-    d_rep = jnp.broadcast_to(d_f, (Lc, B, Pc, bt)).reshape(NB * Pc, bt)
-    contrib = router.to_chk(d_rep).reshape(Lc, B, Pc * bt)
-    partial = jnp.sum(contrib, axis=0)                        # (B, P*bt)
-    total = jax.lax.psum(partial, GRAPH_AXIS)
-    s_hat = jnp.mod(total, 2).reshape(B * Pc, bt)
-    syn_fail = jnp.any(s_hat != syndrome, axis=0)
+    syn_fail = _reencode_mismatch(graph, Lc, router,
+                                  decisions.reshape(Lc * Pc, bt), syndrome)
     if conv_fail is None:  # layered: convergence failure == syndrome failure
         conv_fail = syn_fail
     return decisions.reshape(Lc * Pc, bt).astype(jnp.int8), conv_fail, syn_fail, iters
+
+
+def _expand_local_vars(graph, Lc, router, x_vars: jnp.ndarray) -> jnp.ndarray:
+    """Local per-variable values (Lc*P, bt) -> CHECK-indexed local per-edge
+    rows (Lc*B*P, bt): replicate across the B incident checks, roll to check
+    order (the sharded image of CirculantGraph.expand_vars)."""
+    B, Pc = graph.B, graph.P
+    bt = x_vars.shape[-1]
+    x_f = x_vars.reshape(Lc, 1, Pc, bt)
+    x_rep = jnp.broadcast_to(x_f, (Lc, B, Pc, bt)).reshape(Lc * B * Pc, bt)
+    return router.to_chk(x_rep)
+
+
+def _reencode_mismatch(graph, Lc, router, decisions_flat: jnp.ndarray,
+                       syndrome: jnp.ndarray) -> jnp.ndarray:
+    """(bt,) True where the decisions' re-encoded syndrome mismatches:
+    local column contributions summed, psum'd mod 2 over the graph axis."""
+    B, Pc = graph.B, graph.P
+    bt = syndrome.shape[-1]
+    contrib = _expand_local_vars(
+        graph, Lc, router, decisions_flat.astype(jnp.int32))
+    partial = jnp.sum(contrib.reshape(Lc, B, Pc * bt), axis=0)  # (B, P*bt)
+    total = jax.lax.psum(partial, GRAPH_AXIS)
+    s_hat = jnp.mod(total, 2).reshape(B * Pc, bt)
+    return jnp.any(s_hat != syndrome, axis=0)
+
+
+def _relay_one_graph_sharded(graph, Lc, syndrome, prior, router,
+                             cfg: BPConfig, key, decisions0, solved0,
+                             retries: int, gamma_low: float = 0.2,
+                             gamma_high: float = 0.95):
+    """Graph-sharded image of decoder/relay._relay_one_graph: randomized
+    per-variable-damped min-sum retries for lanes whose hard decision
+    violates the syndrome, run INSIDE shard_map over the (data, graph) mesh.
+
+    Each device draws the damping for ITS OWN variables (key folded by the
+    graph-shard index — every variable lives on exactly one device, so the
+    draw is well-defined; the streams differ from the data-parallel relay's,
+    so repairs agree statistically, not bit-wise).  Returns (decisions,
+    solved, trip_iters) with trip_iters the retries' executed iteration
+    count (x batch = lane-iterations, the honest-work accounting).
+    """
+    B, Pc = graph.B, graph.P
+    bt = syndrome.shape[-1]
+    gidx = jax.lax.axis_index(GRAPH_AXIS)
+
+    def cond(state):
+        r, _, solved, _ = state
+        return (r < retries) & ~jnp.all(solved)
+
+    def body(state):
+        r, decisions, solved, iters_acc = state
+        rk = jax.random.fold_in(jax.random.fold_in(key, r), gidx)
+        gamma = jax.random.uniform(rk, (Lc * Pc, bt), jnp.float32,
+                                   gamma_low, gamma_high)
+        damping = _expand_local_vars(graph, Lc, router, gamma)
+        # solved lanes: zero syndrome -> trivially converged at first check
+        s_eff = jnp.where(solved[None, :], 0, syndrome)
+        v, it = _sharded_min_sum(graph, Lc, s_eff, prior, router, cfg,
+                                 damping)
+        vv = router.to_var(v).reshape(Lc, B, Pc, bt)
+        d_new = jnp.any(vv <= 0.0, axis=1).reshape(Lc * Pc, bt)
+        d_new = d_new.astype(decisions.dtype)
+        mismatch = _reencode_mismatch(graph, Lc, router, d_new, syndrome)
+        newly = ~mismatch & ~solved
+        decisions = jnp.where(newly[None, :], d_new, decisions)
+        return r + 1, decisions, solved | newly, iters_acc + it
+
+    _, decisions, solved, trip_iters = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), decisions0, solved0, jnp.int32(0)))
+    return decisions, solved, trip_iters
 
 
 def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):

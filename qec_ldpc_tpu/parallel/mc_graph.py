@@ -76,10 +76,6 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     Constraints: the graph-sharded engines run XLA loops (``cfg.kernel`` must
     not be 'pallas') and relay/OSD repair is data-parallel-only.
     """
-    if relay_retries > 0:
-        raise ValueError(
-            "relay repair is not supported on a graph-sharded mesh; "
-            "use num_graph=1 (data-parallel) for relay/OSD quality modes")
     if cfg.kernel == "pallas":
         raise ValueError(
             "cfg.kernel='pallas' is not supported by the graph-sharded "
@@ -99,6 +95,11 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     else:
         if not isinstance(graphs.x, LiftedGraph):
             raise ValueError(f"unsupported graph type {type(graphs.x)!r}")
+        if relay_retries > 0:
+            raise ValueError(
+                "relay repair on a graph-sharded mesh is implemented for "
+                "circulant QC codes only; lifted codes need num_graph=1 "
+                "(data-parallel) for relay/OSD quality modes")
         for g in (graphs.x, graphs.z):
             if g.num_check_blocks != 1:
                 # the band_slice below assumes the (single) check block's
@@ -120,9 +121,11 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
                                               batch_per_device)
         raise ValueError(f"unknown error model {error_model!r}")
 
-    def decode_full(sx, sz, error_probability):
+    def decode_full(sx, sz, error_probability, relay_key=None):
         """Graph-sharded decode of full (replicated-over-graph) syndromes;
-        returns decisions gathered back to GLOBAL variable order."""
+        returns decisions gathered back to GLOBAL variable order.  When
+        ``relay_key`` is set (relay_retries > 0, circulant only), failed
+        lanes are repaired in place by the graph-sharded relay loop."""
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(
             error_probability, jnp.float32)
         if circulant:
@@ -130,6 +133,20 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
                 graphs.x, Lc, sx, prior, x_router, cfg)
             dz_l, cfz, sfz, itz = _decode_one_graph_sharded(
                 graphs.z, Lc, sz, prior, z_router, cfg)
+            if relay_key is not None:
+                from qec_ldpc_tpu.parallel.graph_sharded import (
+                    _relay_one_graph_sharded,
+                )
+
+                kx, kz = jax.random.split(relay_key)
+                dx_l, solved_x, rx_it = _relay_one_graph_sharded(
+                    graphs.x, Lc, sx, prior, x_router, cfg, kx,
+                    dx_l, ~sfx, relay_retries)
+                dz_l, solved_z, rz_it = _relay_one_graph_sharded(
+                    graphs.z, Lc, sz, prior, z_router, cfg, kz,
+                    dz_l, ~sfz, relay_retries)
+                sfx, sfz = ~solved_x, ~solved_z
+                itx, itz = itx + rx_it, itz + rz_it
             # device g owns block-columns [g*Lc, (g+1)*Lc): tiled gather IS
             # global variable order
             dx = lax.all_gather(dx_l, GRAPH_AXIS, axis=0, tiled=True)
@@ -170,7 +187,10 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
             # single-device graph objects route with static rolls)
             sx = graphs.x.syndrome(xe_i)
             sz = graphs.z.syndrome(ze_i)
-            dx, dz, code, its = decode_full(sx, sz, error_probability)
+            relay_key = (jax.random.fold_in(ck, jnp.uint32(0x52454C41))
+                         if relay_retries > 0 else None)
+            dx, dz, code, its = decode_full(sx, sz, error_probability,
+                                            relay_key)
             cnt = classify_batch(i_minus_p, xe_i, ze_i,
                                  dx.astype(jnp.int32), dz.astype(jnp.int32),
                                  code)

@@ -110,9 +110,12 @@ def test_run_monte_carlo_dispatches_on_graph_axis(qc7):
 def test_unsupported_configs_fail_loudly(qc7):
     _, graphs, test = qc7
     mesh = make_mesh(num_data=4, num_graph=2, devices=jax.devices())
+    # relay composes on circulant meshes but not on lifted ones
+    lifted = toric_code(4).build_graphs()
     with pytest.raises(ValueError, match="relay"):
-        make_graph_sharded_chunk(mesh, graphs, weight=2,
-                                 cfg=BPConfig(max_iters=10),
+        make_graph_sharded_chunk(mesh, lifted, weight=2,
+                                 cfg=BPConfig(max_iters=10,
+                                              algorithm="min-sum"),
                                  batch_per_device=8, relay_retries=1)
     with pytest.raises(ValueError, match="pallas"):
         make_graph_sharded_chunk(mesh, graphs, weight=2,
@@ -149,15 +152,43 @@ def test_cli_num_graph_end_to_end(tmp_path, small_code_file):
     assert len(out) == 1
 
 
-def test_cli_num_graph_rejects_quality_modes(tmp_path, small_code_file):
+def test_cli_num_graph_rejects_osd(tmp_path, small_code_file):
     from qec_ldpc_tpu.harness.cli import run_sweep
     from qec_ldpc_tpu.harness.config import load_init_file
 
     init = tmp_path / "init.txt"
-    init.write_text(f"{small_code_file} 2 2 64 20 0.02 num_graph=2 relay=2 "
+    init.write_text(f"{small_code_file} 2 2 64 20 0.02 num_graph=2 osd=0 "
                     f"results_dir={tmp_path}/r log_file={tmp_path}/log.txt\n")
     with pytest.raises(ValueError, match="data-parallel-only"):
         run_sweep(load_init_file(str(init)))
+
+
+def test_relay_on_graph_mesh(qc7):
+    """Graph-sharded relay (circulant): deterministic, repairs only ever
+    reduce syndrome failures and raise corrected counts, and the tested
+    population is unchanged.  Repairs agree with the data-parallel relay
+    statistically (different damping streams), so no bit-match claim."""
+    _, graphs, test = qc7
+    cfg = BPConfig(max_iters=20, algorithm="min-sum")
+    base, base_it = _counters(graphs, test, cfg, num_graph=2, weight=4)
+    relayed, relay_it = _counters_relay(graphs, test, cfg, weight=4)
+    relayed2, _ = _counters_relay(graphs, test, cfg, weight=4)
+    np.testing.assert_array_equal(relayed, relayed2)
+    assert relayed[0] == base[0]
+    assert relayed[4] <= base[4] and relayed[5] <= base[5]  # syn fails drop
+    assert relayed[3] + relayed[6] >= base[3] + base[6]     # repaired lanes
+    assert base[4] + base[5] > 0, "weight-4 must produce failures to repair"
+    assert relayed[4] + relayed[5] < base[4] + base[5], "relay repaired none"
+    assert relay_it.sum() > base_it.sum()  # retry work is accounted
+
+
+def _counters_relay(graphs, test, cfg, weight):
+    devs = jax.devices()
+    mesh = make_mesh(num_data=4, num_graph=2, devices=devs)
+    fn = make_graph_sharded_chunk(mesh, graphs, weight=weight, cfg=cfg,
+                                  batch_per_device=8, relay_retries=4)
+    c, i = fn(test, KEY, jnp.float32(0.02), IDS, None)
+    return np.asarray(c), np.asarray(i)
 
 
 def test_depolarizing_model_bitmatch(qc7):
