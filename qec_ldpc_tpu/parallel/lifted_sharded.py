@@ -285,6 +285,49 @@ def _decode_one(adapter: ShardedLiftedGraph, syndrome: jnp.ndarray,
     return decisions.astype(jnp.int8), conv_fail, syn_fail, iters
 
 
+def _relay_one_lifted(adapter: ShardedLiftedGraph, syndrome: jnp.ndarray,
+                      prior, cfg, key, decisions0, solved0, retries: int,
+                      gamma_low: float = 0.2, gamma_high: float = 0.95):
+    """Lane-sharded image of decoder/relay._relay_one_graph: damped min-sum
+    retries inside shard_map with ppermute halos.  Each device draws damping
+    for its own variable band; ``expand_vars``'s halo rolls deliver every
+    edge its variable's coefficient.  The retry loop's continue flag is
+    mesh-global (``combine_continue``) because the in-loop ppermutes
+    rendezvous across all devices.  Returns (decisions, solved, trip_iters).
+    """
+    bt = syndrome.shape[-1]
+    gidx = lax.axis_index(GRAPH_AXIS)
+    prior_arr = jnp.asarray(prior, jnp.float32)
+
+    def cond(state):
+        r, _, solved, _ = state
+        return adapter.combine_continue((r < retries) & ~jnp.all(solved))
+
+    def body(state):
+        r, decisions, solved, acc = state
+        rk = jax.random.fold_in(jax.random.fold_in(key, r), gidx)
+        gamma = jax.random.uniform(rk, (adapter.num_vars, bt), jnp.float32,
+                                   gamma_low, gamma_high)
+        damping = adapter.expand_vars(gamma)
+        s_eff = jnp.where(solved[None, :], 0, syndrome)
+        v, it = min_sum_run(adapter, s_eff, prior_arr, cfg.max_iters,
+                            check_every=cfg.check_every,
+                            conv_low=cfg.conv_low, alpha=cfg.min_sum_alpha,
+                            damping=damping)
+        vv = adapter.vn_view(adapter.to_var(v))
+        d_new = jnp.any(vv <= 0.0, axis=0).astype(decisions.dtype)
+        s_hat = adapter.syndrome(d_new.astype(jnp.int32))
+        mismatch = adapter.combine_lane_mask(
+            jnp.any(s_hat != syndrome, axis=0))
+        newly = ~mismatch & ~solved
+        decisions = jnp.where(newly[None, :], d_new, decisions)
+        return r + 1, decisions, solved | newly, acc + it
+
+    _, decisions, solved, trip_iters = lax.while_loop(
+        cond, body, (jnp.int32(0), decisions0, solved0, jnp.int32(0)))
+    return decisions, solved, trip_iters
+
+
 def make_lifted_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg):
     """Build a jitted lane-sharded decode over a (data, graph) mesh.
 

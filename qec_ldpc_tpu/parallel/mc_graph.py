@@ -74,7 +74,11 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     DATA-shard (each graph shard works on the same samples).
 
     Constraints: the graph-sharded engines run XLA loops (``cfg.kernel`` must
-    not be 'pallas') and relay/OSD repair is data-parallel-only.
+    not be 'pallas').  ``relay_retries > 0`` composes — failed lanes are
+    repaired in place by graph-sharded damped retries
+    (``graph_sharded._relay_one_graph_sharded`` for circulant codes,
+    ``lifted_sharded._relay_one_lifted`` for BB/HGP) — but host OSD is
+    data-parallel-only.
     """
     if cfg.kernel == "pallas":
         raise ValueError(
@@ -95,11 +99,6 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     else:
         if not isinstance(graphs.x, LiftedGraph):
             raise ValueError(f"unsupported graph type {type(graphs.x)!r}")
-        if relay_retries > 0:
-            raise ValueError(
-                "relay repair on a graph-sharded mesh is implemented for "
-                "circulant QC codes only; lifted codes need num_graph=1 "
-                "(data-parallel) for relay/OSD quality modes")
         for g in (graphs.x, graphs.z):
             if g.num_check_blocks != 1:
                 # the band_slice below assumes the (single) check block's
@@ -158,8 +157,21 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
             def band_slice(s):
                 return lax.dynamic_slice_in_dim(s, gidx * band, band, axis=0)
 
-            dx_l, cfx, sfx, itx = _decode_one(ax, band_slice(sx), prior, cfg)
-            dz_l, cfz, sfz, itz = _decode_one(az, band_slice(sz), prior, cfg)
+            sx_b, sz_b = band_slice(sx), band_slice(sz)
+            dx_l, cfx, sfx, itx = _decode_one(ax, sx_b, prior, cfg)
+            dz_l, cfz, sfz, itz = _decode_one(az, sz_b, prior, cfg)
+            if relay_key is not None:
+                from qec_ldpc_tpu.parallel.lifted_sharded import (
+                    _relay_one_lifted,
+                )
+
+                kx, kz = jax.random.split(relay_key)
+                dx_l, solved_x, rx_it = _relay_one_lifted(
+                    ax, sx_b, prior, cfg, kx, dx_l, ~sfx, relay_retries)
+                dz_l, solved_z, rz_it = _relay_one_lifted(
+                    az, sz_b, prior, cfg, kz, dz_l, ~sfz, relay_retries)
+                sfx, sfz = ~solved_x, ~solved_z
+                itx, itz = itx + rx_it, itz + rz_it
 
             def reorder(d_l, g):
                 # gathered (G, VB, lc, m, bt) band order -> (VB*l*m, bt)

@@ -110,13 +110,6 @@ def test_run_monte_carlo_dispatches_on_graph_axis(qc7):
 def test_unsupported_configs_fail_loudly(qc7):
     _, graphs, test = qc7
     mesh = make_mesh(num_data=4, num_graph=2, devices=jax.devices())
-    # relay composes on circulant meshes but not on lifted ones
-    lifted = toric_code(4).build_graphs()
-    with pytest.raises(ValueError, match="relay"):
-        make_graph_sharded_chunk(mesh, lifted, weight=2,
-                                 cfg=BPConfig(max_iters=10,
-                                              algorithm="min-sum"),
-                                 batch_per_device=8, relay_retries=1)
     with pytest.raises(ValueError, match="pallas"):
         make_graph_sharded_chunk(mesh, graphs, weight=2,
                                  cfg=BPConfig(max_iters=10, kernel="pallas"),
@@ -182,13 +175,38 @@ def test_relay_on_graph_mesh(qc7):
     assert relay_it.sum() > base_it.sum()  # retry work is accounted
 
 
-def _counters_relay(graphs, test, cfg, weight):
+def _counters_relay(graphs, test, cfg, weight, p=0.02, error_model="weight",
+                    retries=4):
     devs = jax.devices()
     mesh = make_mesh(num_data=4, num_graph=2, devices=devs)
     fn = make_graph_sharded_chunk(mesh, graphs, weight=weight, cfg=cfg,
-                                  batch_per_device=8, relay_retries=4)
-    c, i = fn(test, KEY, jnp.float32(0.02), IDS, None)
+                                  batch_per_device=8, relay_retries=retries,
+                                  error_model=error_model)
+    c, i = fn(test, KEY, jnp.float32(p), IDS, None)
     return np.asarray(c), np.asarray(i)
+
+
+def test_relay_on_lifted_graph_mesh():
+    """Lane-sharded relay (BB [[72,12,6]]): syndrome failures strictly drop,
+    tested population unchanged, deterministic.  (The toric code is the
+    wrong testbed: its degenerate trapping sets resist damping disorder —
+    data-parallel relay repairs nothing there either; BP+OSD is the toric
+    quality mode, docs/DECODERS.md.)"""
+    code = known_bicycle_code("[[72,12,6]]")
+    graphs = code.build_graphs()
+    test = make_rank_basis_test(code)
+    cfg = BPConfig(max_iters=30, algorithm="min-sum")
+    base, _ = _counters(graphs, test, cfg, num_graph=2, weight=0, p=0.05,
+                        error_model="depolarizing")
+    relayed, _ = _counters_relay(graphs, test, cfg, weight=0, p=0.05,
+                                 error_model="depolarizing", retries=8)
+    relayed2, _ = _counters_relay(graphs, test, cfg, weight=0, p=0.05,
+                                  error_model="depolarizing", retries=8)
+    np.testing.assert_array_equal(relayed, relayed2)
+    assert relayed[0] == base[0]
+    assert base[4] + base[5] > 0, "p=0.05 must produce failures to repair"
+    assert relayed[4] + relayed[5] < base[4] + base[5], "relay repaired none"
+    assert relayed[3] + relayed[6] >= base[3] + base[6]
 
 
 def test_depolarizing_model_bitmatch(qc7):
