@@ -31,7 +31,7 @@ from qec_ldpc_tpu.codes import (
     load_code_file,
     toric_code,
 )
-from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+from qec_ldpc_tpu.decoder import CodeGraphs
 from qec_ldpc_tpu.harness import debug
 from qec_ldpc_tpu.harness.config import RunConfig, format_result_filename, load_init_file
 from qec_ldpc_tpu.harness.journal import Journal

@@ -9,7 +9,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs, bp_run, decode_batch
+from qec_ldpc_tpu.decoder import BPConfig, bp_run, decode_batch
 from qec_ldpc_tpu.sampling import sample_weight_w_errors
 
 from . import oracle

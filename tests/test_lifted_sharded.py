@@ -69,7 +69,6 @@ def test_bicycle_matches_single_device(algorithm):
 
 def test_sharded_roll_roundtrip():
     """to_check(to_var(x)) == x through the halo-exchange rolls."""
-    from functools import partial
 
     from jax.sharding import PartitionSpec as P
     from qec_ldpc_tpu.parallel.mesh import DATA_AXIS, GRAPH_AXIS

@@ -5,7 +5,7 @@ import jax
 import numpy as np
 import pytest
 
-from qec_ldpc_tpu.decoder import BPConfig, CodeGraphs
+from qec_ldpc_tpu.decoder import BPConfig
 from qec_ldpc_tpu.parallel import DATA_AXIS, make_mesh, run_monte_carlo
 from qec_ldpc_tpu.sampling import C_CORRECTED, C_TESTED, NUM_COUNTERS
 
