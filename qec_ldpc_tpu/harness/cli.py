@@ -192,12 +192,10 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     devices = jax.devices()
     if cfg.num_graph > 1:
         # (data x graph) mesh: Tanner-graph sharding (BASELINE config 5).
-        # Relay composes (graph-sharded damped retries, circulant codes —
-        # parallel/mc_graph.py raises for lifted codes); host OSD does not.
-        if cfg.osd >= 0:
-            raise ValueError(
-                "the host-OSD quality mode is data-parallel-only; "
-                "set num_graph=1 or disable osd (relay= composes)")
+        # Both quality modes compose: relay runs graph-sharded damped
+        # retries inside the shard_map, host OSD consumes gathered soft
+        # outputs (circulant codes; parallel/mc_graph.py raises with
+        # guidance for lifted-code combinations it cannot serve).
         if len(devices) < cfg.num_graph:
             raise ValueError(
                 f"num_graph={cfg.num_graph} needs at least that many "

@@ -8,7 +8,10 @@ from qec_ldpc_tpu.parallel.mesh import (
 )
 from qec_ldpc_tpu.parallel.graph_sharded import make_graph_sharded_decoder
 from qec_ldpc_tpu.parallel.lifted_sharded import make_lifted_sharded_decoder
-from qec_ldpc_tpu.parallel.mc_graph import make_graph_sharded_chunk
+from qec_ldpc_tpu.parallel.mc_graph import (
+    make_graph_sharded_arrays_chunk,
+    make_graph_sharded_chunk,
+)
 from qec_ldpc_tpu.parallel.montecarlo import (
     make_sharded_chunk,
     mc_chunk,
@@ -30,6 +33,7 @@ __all__ = [
     "mc_chunk_arrays",
     "make_sharded_chunk",
     "make_graph_sharded_chunk",
+    "make_graph_sharded_arrays_chunk",
     "run_monte_carlo",
     "run_monte_carlo_osd",
 ]

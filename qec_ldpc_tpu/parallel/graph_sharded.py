@@ -480,12 +480,17 @@ def _sharded_layered(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     return q_final, n_final
 
 
-def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg):
+def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg,
+                              want_soft: bool = False):
     """Local decisions + flags for one graph.  Returns
-    (decisions (Lc*P, bt) var-order, conv_fail (bt,), syn_fail (bt,), iters)."""
+    (decisions (Lc*P, bt) var-order, conv_fail (bt,), syn_fail (bt,), iters,
+    soft) — ``soft`` is the local posterior-LLR proxy (Lc*P, bt) when
+    ``want_soft`` (same formulas and term order as decode.py's soft outputs,
+    so min-sum values bit-match the single-device path), else None."""
     B, Pc = graph.B, graph.P
     bt = syndrome.shape[-1]
     NB = Lc * B
+    soft = None
     if cfg.algorithm == "layered-min-sum":
         q, iters = _sharded_layered(graph, Lc, syndrome, prior, router, cfg)
         # layered maintains posteriors natively: hard decision is q <= 0;
@@ -494,6 +499,8 @@ def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg):
         # matching decoder/decode.py)
         decisions = (q <= 0.0).reshape(Lc, Pc, bt)
         conv_fail = None
+        if want_soft:
+            soft = q  # layered q IS the posterior (decode.py)
     elif cfg.algorithm == "min-sum":
         from qec_ldpc_tpu.decoder.min_sum import np_log_band
 
@@ -505,6 +512,8 @@ def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg):
         conv_fail = jax.lax.pmax(
             jnp.any(jnp.abs(v) < band, axis=0).astype(jnp.int32),
             GRAPH_AXIS) > 0
+        if want_soft:
+            soft = jnp.sum(vv, axis=1).reshape(Lc * Pc, bt)
     else:
         v, iters = _sharded_bp(graph, Lc, syndrome, prior, router, cfg)
         # hard decision per local var: any incident message >= 0.5
@@ -514,12 +523,18 @@ def _decode_one_graph_sharded(graph, Lc, syndrome, prior, router, cfg):
         inside = (v != 0.0) & (v > cfg.conv_low) & (v < cfg.conv_high)
         conv_fail = jax.lax.pmax(
             jnp.any(inside, axis=0).astype(jnp.int32), GRAPH_AXIS) > 0
+        if want_soft:
+            vc = jnp.clip(vv, 1e-12, 1.0 - 1e-7)
+            term = jnp.log1p(-vc) - jnp.log(vc)
+            term = jnp.where(jnp.isnan(vv), 0.0, term)
+            soft = jnp.sum(term, axis=1).reshape(Lc * Pc, bt)
     # re-encode: partial syndrome from local cols, psum mod 2 over shards
     syn_fail = _reencode_mismatch(graph, Lc, router,
                                   decisions.reshape(Lc * Pc, bt), syndrome)
     if conv_fail is None:  # layered: convergence failure == syndrome failure
         conv_fail = syn_fail
-    return decisions.reshape(Lc * Pc, bt).astype(jnp.int8), conv_fail, syn_fail, iters
+    return (decisions.reshape(Lc * Pc, bt).astype(jnp.int8), conv_fail,
+            syn_fail, iters, soft)
 
 
 def _expand_local_vars(graph, Lc, router, x_vars: jnp.ndarray) -> jnp.ndarray:
@@ -614,9 +629,9 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
 
     def shard_fn(sx, sz, p):
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)
-        dx, cfx, sfx, itx = _decode_one_graph_sharded(
+        dx, cfx, sfx, itx, _ = _decode_one_graph_sharded(
             graphs.x, Lc, sx, prior, x_router, cfg)
-        dz, cfz, sfz, itz = _decode_one_graph_sharded(
+        dz, cfz, sfz, itz, _ = _decode_one_graph_sharded(
             graphs.z, Lc, sz, prior, z_router, cfg)
         code = (
             sfx.astype(jnp.int32) * SYNDROME_FAIL_X

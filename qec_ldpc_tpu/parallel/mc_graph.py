@@ -128,9 +128,9 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(
             error_probability, jnp.float32)
         if circulant:
-            dx_l, cfx, sfx, itx = _decode_one_graph_sharded(
+            dx_l, cfx, sfx, itx, _ = _decode_one_graph_sharded(
                 graphs.x, Lc, sx, prior, x_router, cfg)
-            dz_l, cfz, sfz, itz = _decode_one_graph_sharded(
+            dz_l, cfz, sfz, itz, _ = _decode_one_graph_sharded(
                 graphs.z, Lc, sz, prior, z_router, cfg)
             if relay_key is not None:
                 from qec_ldpc_tpu.parallel.graph_sharded import (
@@ -226,5 +226,115 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
         # consts (Pallas roll operands) are meaningless here — the engines
         # are XLA loops; accepted for signature parity with make_sharded_chunk
         return jitted(i_minus_p, key, error_probability, chunk_ids)
+
+    return chunk_fn
+
+
+def make_graph_sharded_arrays_chunk(mesh: Mesh, graphs: CodeGraphs,
+                                    weight: int, cfg: BPConfig, batch: int,
+                                    error_model: str = "weight",
+                                    relay_retries: int = 0):
+    """One Monte-Carlo chunk over a (data x graph) mesh returning the FULL
+    per-lane arrays for host post-processing (OSD) — the graph-sharded
+    sibling of ``mc_chunk_arrays``.
+
+    Sampling uses ONE key for the whole global ``batch`` (each data shard
+    slices its columns), so the sample stream is identical to
+    ``mc_chunk_arrays(key, ..., batch)`` — and with the exact min-sum
+    engine the decisions AND soft outputs bit-match the single-device path,
+    making sharded OSD counters bit-identical to data-parallel OSD runs.
+    Circulant QC codes only (the lifted lane-sharded engine has no soft
+    outputs).  Returns ``(xe, ze, sx, sz, result: DecodeResult)``.
+    """
+    from qec_ldpc_tpu.decoder.decode import DecodeResult
+
+    if cfg.kernel == "pallas":
+        raise ValueError(
+            "cfg.kernel='pallas' is not supported by the graph-sharded "
+            "engines; use kernel='xla'")
+    if not isinstance(graphs.x, CirculantGraph):
+        raise ValueError(
+            "graph-sharded OSD arrays need circulant QC codes (the lifted "
+            "lane-sharded engine has no soft outputs); use num_graph=1")
+    G = mesh.shape[GRAPH_AXIS]
+    num_data = mesh.shape[DATA_AXIS]
+    if batch % num_data != 0:
+        raise ValueError(f"batch={batch} must be divisible by the data-axis "
+                         f"size {num_data}")
+    bpd = batch // num_data
+    L = graphs.x.L
+    if L % G != 0:
+        raise ValueError(f"graph axis size {G} must divide L={L}")
+    Lc = L // G
+    x_router = ShardRouter(graphs.x, Lc, G)
+    z_router = ShardRouter(graphs.z, Lc, G)
+    n = graphs.code.n
+
+    def shard_fn(key, error_probability):
+        didx = lax.axis_index(DATA_AXIS)
+        # full global batch from ONE key, then slice this data shard's
+        # columns -> concatenation over shards is exactly the
+        # mc_chunk_arrays stream
+        if error_model == "weight":
+            xe_f, ze_f = sample_weight_w_errors(key, n, weight, batch)
+        elif error_model == "depolarizing":
+            xe_f, ze_f = sample_depolarizing_errors(key, n,
+                                                    error_probability, batch)
+        else:
+            raise ValueError(f"unknown error model {error_model!r}")
+        xe = lax.dynamic_slice_in_dim(xe_f, didx * bpd, bpd, axis=1)
+        ze = lax.dynamic_slice_in_dim(ze_f, didx * bpd, bpd, axis=1)
+        xe_i, ze_i = xe.astype(jnp.int32), ze.astype(jnp.int32)
+        sx = graphs.x.syndrome(xe_i)
+        sz = graphs.z.syndrome(ze_i)
+        prior = jnp.float32(cfg.prior_factor) * jnp.asarray(
+            error_probability, jnp.float32)
+        dx_l, cfx, sfx, itx, softx_l = _decode_one_graph_sharded(
+            graphs.x, Lc, sx, prior, x_router, cfg, want_soft=True)
+        dz_l, cfz, sfz, itz, softz_l = _decode_one_graph_sharded(
+            graphs.z, Lc, sz, prior, z_router, cfg, want_soft=True)
+        if relay_retries > 0:
+            from qec_ldpc_tpu.parallel.graph_sharded import (
+                _relay_one_graph_sharded,
+            )
+
+            rk = jax.random.fold_in(key, jnp.uint32(0x52454C41))
+            kx, kz = jax.random.split(rk)
+            dx_l, solved_x, rx_it = _relay_one_graph_sharded(
+                graphs.x, Lc, sx, prior, x_router, cfg, kx, dx_l, ~sfx,
+                relay_retries)
+            dz_l, solved_z, rz_it = _relay_one_graph_sharded(
+                graphs.z, Lc, sz, prior, z_router, cfg, kz, dz_l, ~sfz,
+                relay_retries)
+            sfx, sfz = ~solved_x, ~solved_z
+            itx, itz = itx + rx_it, itz + rz_it
+        dx = lax.all_gather(dx_l, GRAPH_AXIS, axis=0, tiled=True)
+        dz = lax.all_gather(dz_l, GRAPH_AXIS, axis=0, tiled=True)
+        softx = lax.all_gather(softx_l, GRAPH_AXIS, axis=0, tiled=True)
+        softz = lax.all_gather(softz_l, GRAPH_AXIS, axis=0, tiled=True)
+        code = _error_code(sfx, sfz, cfx, cfz)
+        isx = lax.psum(itx * bpd, DATA_AXIS)
+        isz = lax.psum(itz * bpd, DATA_AXIS)
+        return (xe.astype(jnp.int8), ze.astype(jnp.int8),
+                sx.astype(jnp.int8), sz.astype(jnp.int8),
+                dx, dz, softx, softz, code, isx, isz)
+
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(None, DATA_AXIS),) * 8 + (P(DATA_AXIS), P(), P()),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def chunk_fn(key, error_probability):
+        (xe, ze, sx, sz, dx, dz, softx, softz, code,
+         isx, isz) = jitted(key, jnp.float32(error_probability))
+        res = DecodeResult(
+            decisions_x=dx, decisions_z=dz, error_code=code,
+            iters_x=jnp.int32(0), iters_z=jnp.int32(0),
+            iter_samples_x=isx, iter_samples_z=isz,
+            soft_x=softx, soft_z=softz)
+        return xe, ze, sx, sz, res
 
     return chunk_fn

@@ -284,6 +284,21 @@ def run_monte_carlo_osd(
     consts = kernel_consts(graphs, cfg)
     i_minus_p = _resolve_logical_test(graphs, i_minus_p)
     key = jax.random.PRNGKey(seed)
+    num_graph = dict(mesh.shape).get(GRAPH_AXIS, 1) if mesh is not None else 1
+    if num_graph > 1:
+        # graph-sharded device half (parallel/mc_graph.py): identical sample
+        # stream (one key per chunk), decode sharded over the graph axis
+        # with soft outputs gathered for the host OSD splice; min-sum
+        # decisions/soft bit-match the single-device path.
+        from qec_ldpc_tpu.parallel.mc_graph import (
+            make_graph_sharded_arrays_chunk,
+        )
+
+        graph_chunk = make_graph_sharded_arrays_chunk(
+            mesh, graphs, weight, cfg, batch_size, error_model,
+            relay_retries)
+    else:
+        graph_chunk = None
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     if init_counters is not None:
         totals += np.asarray(init_counters, dtype=np.int64)
@@ -291,9 +306,12 @@ def run_monte_carlo_osd(
     num_chunks = -(-count // batch_size)
     for c in range(start_chunk, num_chunks):
         ck = jax.random.fold_in(key, np.uint32(c))
-        xe, ze, sx, sz, res = mc_chunk_arrays(
-            graphs, ck, weight, jnp.float32(error_probability), cfg,
-            batch_size, error_model, relay_retries, consts, mesh)
+        if graph_chunk is not None:
+            xe, ze, sx, sz, res = graph_chunk(ck, error_probability)
+        else:
+            xe, ze, sx, sz, res = mc_chunk_arrays(
+                graphs, ck, weight, jnp.float32(error_probability), cfg,
+                batch_size, error_model, relay_retries, consts, mesh)
         if post is not None:
             dx, dz, ec = post.apply(np.asarray(sx), np.asarray(sz), res)
         else:

@@ -145,17 +145,6 @@ def test_cli_num_graph_end_to_end(tmp_path, small_code_file):
     assert len(out) == 1
 
 
-def test_cli_num_graph_rejects_osd(tmp_path, small_code_file):
-    from qec_ldpc_tpu.harness.cli import run_sweep
-    from qec_ldpc_tpu.harness.config import load_init_file
-
-    init = tmp_path / "init.txt"
-    init.write_text(f"{small_code_file} 2 2 64 20 0.02 num_graph=2 osd=0 "
-                    f"results_dir={tmp_path}/r log_file={tmp_path}/log.txt\n")
-    with pytest.raises(ValueError, match="data-parallel-only"):
-        run_sweep(load_init_file(str(init)))
-
-
 def test_relay_on_graph_mesh(qc7):
     """Graph-sharded relay (circulant): deterministic, repairs only ever
     reduce syndrome failures and raise corrected counts, and the tested
@@ -217,3 +206,19 @@ def test_depolarizing_model_bitmatch(qc7):
     cg, _ = _counters(graphs, test, cfg, num_graph=2, weight=0, p=0.03,
                       error_model="depolarizing")
     np.testing.assert_array_equal(cd, cg)
+
+
+def test_cli_osd_with_num_graph(tmp_path, small_code_file):
+    """osd= now composes with num_graph= in the CLI (graph-sharded decode,
+    soft outputs gathered for the host OSD splice)."""
+    from qec_ldpc_tpu.harness.cli import run_sweep
+    from qec_ldpc_tpu.harness.config import load_init_file
+
+    init = tmp_path / "init.txt"
+    init.write_text(f"{small_code_file} 4 4 64 15 0.02 seed=5 batch_size=32 "
+                    f"algorithm=min-sum num_graph=2 osd=0 "
+                    f"results_dir={tmp_path}/r log_file={tmp_path}/log.txt\n")
+    stats = run_sweep(load_init_file(str(init)))[0]
+    assert stats.num_errors_tested == 64
+    assert stats.syndrome_errors_x == 0 and stats.syndrome_errors_z == 0
+    assert stats.corrected + stats.logical_errors == 64
