@@ -12,7 +12,8 @@ running on the sharded engine).  Pins:
 * ``run_monte_carlo`` dispatches on the mesh's graph axis;
 * the CLI runs end-to-end with ``num_graph=2`` and writes a correct
   reference-format results file;
-* unsupported configurations fail loudly (relay, pallas kernel).
+* unsupported configurations fail loudly (pallas kernel, non-dividing
+  graph-axis sizes); relay and OSD compose (tested here and in test_osd).
 """
 
 import jax
