@@ -56,13 +56,20 @@ from qec_ldpc_tpu.decoder.sum_product import BPConfig
 
 def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
                      decisions0, solved0, retries: int,
-                     gamma_low: float, gamma_high: float):
+                     gamma_low: float, gamma_high: float,
+                     gamma_lanes: int | None = None, lane_offset=0):
     """Retry loop for one graph.  decisions0/solved0: the primary decode's
     hard decisions and per-lane syndrome-satisfied mask.  Returns (decisions,
     solved, retries_used, extra_lane_iters) — extra_lane_iters counts the
     retries' executed BP lane-iterations (iterations x batch per retry; the
     XLA loop runs every lane until its global exit), keeping the honest-work
-    accounting of DecodeResult.iter_samples_* intact in relay mode."""
+    accounting of DecodeResult.iter_samples_* intact in relay mode.
+
+    ``gamma_lanes``/``lane_offset``: when a caller decodes a column slice of
+    a larger logical batch (the shard_map'd quality chunk), the damping
+    draws come from the FULL ``gamma_lanes``-wide uniform and this shard's
+    columns are sliced out — making each lane's retry trajectory independent
+    of the batch partition (counter bit-parity across mesh shapes)."""
     batch = syndrome.shape[-1]
 
     def cond(state):
@@ -72,8 +79,16 @@ def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
     def body(state):
         r, decisions, solved, lane_iters = state
         rk = jax.random.fold_in(key, r)
-        gamma = jax.random.uniform(
-            rk, (graph.num_vars, batch), jnp.float32, gamma_low, gamma_high)
+        if gamma_lanes is None:
+            gamma = jax.random.uniform(
+                rk, (graph.num_vars, batch), jnp.float32,
+                gamma_low, gamma_high)
+        else:
+            gamma_full = jax.random.uniform(
+                rk, (graph.num_vars, gamma_lanes), jnp.float32,
+                gamma_low, gamma_high)
+            gamma = jax.lax.dynamic_slice_in_dim(
+                gamma_full, lane_offset, batch, axis=1)
         damping = graph.expand_vars(gamma)
         # solved lanes: zero syndrome -> trivially converged at first check
         s_eff = jnp.where(solved[None, :], 0, syndrome)
@@ -110,7 +125,7 @@ def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
 
 
 @partial(jax.jit, static_argnames=("graphs", "cfg", "retries",
-                                   "gamma_low", "gamma_high"))
+                                   "gamma_low", "gamma_high", "gamma_lanes"))
 def relay_decode_batch(
     graphs: CodeGraphs,
     syndrome_x: jnp.ndarray,
@@ -122,6 +137,8 @@ def relay_decode_batch(
     gamma_low: float = 0.2,
     gamma_high: float = 0.95,
     consts=None,
+    gamma_lanes: int | None = None,
+    lane_offset=0,
 ):
     """Primary decode (cfg as configured, fused kernels and all) + relay
     retries for failed lanes.  Returns the primary DecodeResult with
@@ -147,7 +164,7 @@ def relay_decode_batch(
         solved0 = (ec & bit) == 0
         d, solved, r_used, lane_iters = _relay_one_graph(
             graph, syn, prior, cfg, k, dec, solved0, retries,
-            gamma_low, gamma_high)
+            gamma_low, gamma_high, gamma_lanes, lane_offset)
         ec = jnp.where(solved, ec & ~bit, ec)
         out[name] = (d, r_used, lane_iters)
     result = dataclasses.replace(

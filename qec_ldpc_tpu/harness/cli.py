@@ -304,10 +304,9 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     return all_stats
 
 
-def _config_from_flags(argv: list[str]) -> RunConfig:
-    """Flag form: ``--code <spec> [--w N] [--W N] [--count N] [--max N]
-    [--p F] [--<any-RunConfig-field> value]`` — the init file's positional
-    line expressed as flags, for ad-hoc runs without writing a file."""
+def _parse_flag_tokens(argv: list[str]) -> dict[str, str]:
+    """``--key value`` / ``--key=value`` tokens -> {field: raw value},
+    mapping the reference init file's positional names to RunConfig fields."""
     alias = {"code": "code_file", "w": "weight_start", "W": "weight_end",
              "count": "count", "max": "max_iterations",
              "p": "error_probability"}
@@ -327,6 +326,25 @@ def _config_from_flags(argv: list[str]) -> RunConfig:
             i += 1
         values[alias.get(key, key)] = val
         i += 1
+    return values
+
+
+def _apply_flag_values(cfg: RunConfig, values: dict[str, str]) -> RunConfig:
+    from qec_ldpc_tpu.harness.config import apply_option
+
+    for k, v in values.items():
+        try:
+            apply_option(cfg, k, v)
+        except ValueError as e:
+            raise ValueError(f"--{k}: {e}") from e
+    return cfg
+
+
+def _config_from_flags(argv: list[str]) -> RunConfig:
+    """Flag form: ``--code <spec> [--w N] [--W N] [--count N] [--max N]
+    [--p F] [--<any-RunConfig-field> value]`` — the init file's positional
+    line expressed as flags, for ad-hoc runs without writing a file."""
+    values = _parse_flag_tokens(argv)
     if "code_file" not in values:
         raise ValueError("--code <spec> is required")
     weight_start = int(values.pop("weight_start", 1))
@@ -342,24 +360,14 @@ def _config_from_flags(argv: list[str]) -> RunConfig:
         max_iterations=int(values.pop("max_iterations", 100)),
         error_probability=float(values.pop("error_probability", 0.01)),
     )
-    for k, v in values.items():
-        if not hasattr(cfg, k):
-            raise ValueError(f"unknown option --{k}")
-        cur = getattr(cfg, k)
-        if isinstance(cur, bool):
-            v = v.lower() in ("1", "true", "yes")
-        elif isinstance(cur, int) or (cur is None and k == "seed"):
-            v = int(v)
-        elif isinstance(cur, float):
-            v = float(v)
-        setattr(cfg, k, v)
-    return cfg
+    return _apply_flag_values(cfg, values)
 
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv:
-        print("Usage: python -m qec_ldpc_tpu.harness.cli <init-file>\n"
+        print("Usage: python -m qec_ldpc_tpu.harness.cli <init-file> "
+              "[--<field> value ...]\n"
               "       python -m qec_ldpc_tpu.harness.cli --code <spec> "
               "[--w N --W N --count N --max N --p F --<field> value ...]",
               file=sys.stderr)
@@ -367,7 +375,13 @@ def main(argv: list[str] | None = None) -> int:
     if argv[0].startswith("--"):
         cfg = _config_from_flags(argv)
     else:
+        # init-file form; trailing --flag overrides layer on top, so the
+        # reference's LITERAL init.txt can run with repo-local output dirs:
+        #   cli /root/reference/QEC_LDPC/init.txt --results_dir out/
         cfg = load_init_file(argv[0])
+        overrides = _parse_flag_tokens(argv[1:])
+        overrides.pop("code_file", None)  # the init file owns the code spec
+        _apply_flag_values(cfg, overrides)
     try:
         run_sweep(cfg)
     except Exception as e:

@@ -10,8 +10,37 @@ defaulted fields (SURVEY §5 config inventory).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
+
+_TRUE = ("1", "true", "yes", "on")
+_FALSE = ("0", "false", "no", "off")
+
+
+def apply_option(cfg: "RunConfig", key: str, value: str) -> None:
+    """Set one RunConfig field from its string form, with strict coercion.
+
+    Booleans accept only explicit true/false literals — a typo ('ture')
+    must raise, not silently become False (advisor finding r3)."""
+    if not hasattr(cfg, key):
+        raise ValueError(f"unknown option {key!r}")
+    cur = getattr(cfg, key)
+    if isinstance(cur, bool):
+        v = value.lower()
+        if v in _TRUE:
+            value = True
+        elif v in _FALSE:
+            value = False
+        else:
+            raise ValueError(
+                f"option {key!r}: expected one of {_TRUE + _FALSE}, "
+                f"got {value!r}")
+    elif isinstance(cur, int) or (cur is None and key == "seed"):
+        value = int(value)
+    elif isinstance(cur, float):
+        value = float(value)
+    setattr(cfg, key, value)
 
 
 @dataclasses.dataclass
@@ -108,8 +137,18 @@ def load_init_file(path: str) -> RunConfig:
         raise ValueError(
             f"init file {path!r}: expected 6 positional values "
             f"(codeFile w W COUNT MAX_ITERATIONS p), got {len(tokens)}")
+    code_file = tokens[0]
+    if (not os.path.isabs(code_file) and not os.path.exists(code_file)
+            and ":" not in code_file):
+        # the reference resolves codeFile against its own directory
+        # (init.txt says just "code610.txt", main.cu:74-78); mirror that so
+        # its LITERAL init file runs from anywhere
+        beside = os.path.join(os.path.dirname(os.path.abspath(path)),
+                              code_file)
+        if os.path.exists(beside):
+            code_file = beside
     cfg = RunConfig(
-        code_file=tokens[0],
+        code_file=code_file,
         weight_start=int(tokens[1]),
         weight_end=int(tokens[2]),
         count=int(tokens[3]),
@@ -117,16 +156,10 @@ def load_init_file(path: str) -> RunConfig:
         error_probability=float(tokens[5]),
     )
     for k, v in extras.items():
-        if not hasattr(cfg, k):
-            raise ValueError(f"init file {path!r}: unknown option {k!r}")
-        cur = getattr(cfg, k)
-        if isinstance(cur, bool):
-            v = v.lower() in ("1", "true", "yes")
-        elif isinstance(cur, int) or (cur is None and k == "seed"):
-            v = int(v)
-        elif isinstance(cur, float):
-            v = float(v)
-        setattr(cfg, k, v)
+        try:
+            apply_option(cfg, k, v)
+        except ValueError as e:
+            raise ValueError(f"init file {path!r}: {e}") from e
     return cfg
 
 

@@ -230,24 +230,10 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     return chunk_fn
 
 
-def make_graph_sharded_arrays_chunk(mesh: Mesh, graphs: CodeGraphs,
-                                    weight: int, cfg: BPConfig, batch: int,
-                                    error_model: str = "weight",
-                                    relay_retries: int = 0):
-    """One Monte-Carlo chunk over a (data x graph) mesh returning the FULL
-    per-lane arrays for host post-processing (OSD) — the graph-sharded
-    sibling of ``mc_chunk_arrays``.
-
-    Sampling uses ONE key for the whole global ``batch`` (each data shard
-    slices its columns), so the sample stream is identical to
-    ``mc_chunk_arrays(key, ..., batch)`` — and with the exact min-sum
-    engine the decisions AND soft outputs bit-match the single-device path,
-    making sharded OSD counters bit-identical to data-parallel OSD runs.
-    Circulant QC codes only (the lifted lane-sharded engine has no soft
-    outputs).  Returns ``(xe, ze, sx, sz, result: DecodeResult)``.
-    """
-    from qec_ldpc_tpu.decoder.decode import DecodeResult
-
+def _check_graph_osd_mesh(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig,
+                          batch: int):
+    """Shared validation for the graph-sharded soft-output chunks; returns
+    (G, num_data, bpd, Lc, x_router, z_router)."""
     if cfg.kernel == "pallas":
         raise ValueError(
             "cfg.kernel='pallas' is not supported by the graph-sharded "
@@ -266,53 +252,89 @@ def make_graph_sharded_arrays_chunk(mesh: Mesh, graphs: CodeGraphs,
     if L % G != 0:
         raise ValueError(f"graph axis size {G} must divide L={L}")
     Lc = L // G
-    x_router = ShardRouter(graphs.x, Lc, G)
-    z_router = ShardRouter(graphs.z, Lc, G)
+    return (G, num_data, bpd, Lc,
+            ShardRouter(graphs.x, Lc, G), ShardRouter(graphs.z, Lc, G))
+
+
+def _soft_decode_shard(graphs: CodeGraphs, Lc, x_router, z_router,
+                       cfg: BPConfig, weight: int, error_model: str,
+                       relay_retries: int, batch: int, bpd: int,
+                       key, error_probability):
+    """Per-(data, graph)-shard body of the soft-output quality chunks:
+    sample the FULL global batch from the single chunk key, slice this data
+    shard's columns, graph-sharded X/Z decode with soft outputs, optional
+    graph-sharded relay, decisions/soft gathered back to global variable
+    order.  Returns (xe, ze, sx, sz, dx, dz, softx, softz, code, itx, itz)
+    with itx/itz this shard's executed BP iteration counts (pre-psum)."""
     n = graphs.code.n
+    didx = lax.axis_index(DATA_AXIS)
+    if error_model == "weight":
+        xe_f, ze_f = sample_weight_w_errors(key, n, weight, batch)
+    elif error_model == "depolarizing":
+        xe_f, ze_f = sample_depolarizing_errors(key, n,
+                                                error_probability, batch)
+    else:
+        raise ValueError(f"unknown error model {error_model!r}")
+    xe = lax.dynamic_slice_in_dim(xe_f, didx * bpd, bpd, axis=1)
+    ze = lax.dynamic_slice_in_dim(ze_f, didx * bpd, bpd, axis=1)
+    xe_i, ze_i = xe.astype(jnp.int32), ze.astype(jnp.int32)
+    sx = graphs.x.syndrome(xe_i)
+    sz = graphs.z.syndrome(ze_i)
+    prior = jnp.float32(cfg.prior_factor) * jnp.asarray(
+        error_probability, jnp.float32)
+    dx_l, cfx, sfx, itx, softx_l = _decode_one_graph_sharded(
+        graphs.x, Lc, sx, prior, x_router, cfg, want_soft=True)
+    dz_l, cfz, sfz, itz, softz_l = _decode_one_graph_sharded(
+        graphs.z, Lc, sz, prior, z_router, cfg, want_soft=True)
+    if relay_retries > 0:
+        from qec_ldpc_tpu.parallel.graph_sharded import (
+            _relay_one_graph_sharded,
+        )
+
+        rk = jax.random.fold_in(key, jnp.uint32(0x52454C41))
+        kx, kz = jax.random.split(rk)
+        dx_l, solved_x, rx_it = _relay_one_graph_sharded(
+            graphs.x, Lc, sx, prior, x_router, cfg, kx, dx_l, ~sfx,
+            relay_retries)
+        dz_l, solved_z, rz_it = _relay_one_graph_sharded(
+            graphs.z, Lc, sz, prior, z_router, cfg, kz, dz_l, ~sfz,
+            relay_retries)
+        sfx, sfz = ~solved_x, ~solved_z
+        itx, itz = itx + rx_it, itz + rz_it
+    dx = lax.all_gather(dx_l, GRAPH_AXIS, axis=0, tiled=True)
+    dz = lax.all_gather(dz_l, GRAPH_AXIS, axis=0, tiled=True)
+    softx = lax.all_gather(softx_l, GRAPH_AXIS, axis=0, tiled=True)
+    softz = lax.all_gather(softz_l, GRAPH_AXIS, axis=0, tiled=True)
+    code = _error_code(sfx, sfz, cfx, cfz)
+    return (xe, ze, sx, sz, dx, dz, softx, softz, code, itx, itz)
+
+
+def make_graph_sharded_arrays_chunk(mesh: Mesh, graphs: CodeGraphs,
+                                    weight: int, cfg: BPConfig, batch: int,
+                                    error_model: str = "weight",
+                                    relay_retries: int = 0):
+    """One Monte-Carlo chunk over a (data x graph) mesh returning the FULL
+    per-lane arrays for host post-processing — the graph-sharded sibling of
+    ``mc_chunk_arrays`` (debugging/analysis; the production quality mode
+    uses :func:`make_graph_sharded_osd_chunk`).
+
+    Sampling uses ONE key for the whole global ``batch`` (each data shard
+    slices its columns), so the sample stream is identical to
+    ``mc_chunk_arrays(key, ..., batch)`` — and with the exact min-sum
+    engine the decisions AND soft outputs bit-match the single-device path.
+    Circulant QC codes only (the lifted lane-sharded engine has no soft
+    outputs).  Returns ``(xe, ze, sx, sz, result: DecodeResult)``.
+    """
+    from qec_ldpc_tpu.decoder.decode import DecodeResult
+
+    G, num_data, bpd, Lc, x_router, z_router = _check_graph_osd_mesh(
+        mesh, graphs, cfg, batch)
 
     def shard_fn(key, error_probability):
-        didx = lax.axis_index(DATA_AXIS)
-        # full global batch from ONE key, then slice this data shard's
-        # columns -> concatenation over shards is exactly the
-        # mc_chunk_arrays stream
-        if error_model == "weight":
-            xe_f, ze_f = sample_weight_w_errors(key, n, weight, batch)
-        elif error_model == "depolarizing":
-            xe_f, ze_f = sample_depolarizing_errors(key, n,
-                                                    error_probability, batch)
-        else:
-            raise ValueError(f"unknown error model {error_model!r}")
-        xe = lax.dynamic_slice_in_dim(xe_f, didx * bpd, bpd, axis=1)
-        ze = lax.dynamic_slice_in_dim(ze_f, didx * bpd, bpd, axis=1)
-        xe_i, ze_i = xe.astype(jnp.int32), ze.astype(jnp.int32)
-        sx = graphs.x.syndrome(xe_i)
-        sz = graphs.z.syndrome(ze_i)
-        prior = jnp.float32(cfg.prior_factor) * jnp.asarray(
-            error_probability, jnp.float32)
-        dx_l, cfx, sfx, itx, softx_l = _decode_one_graph_sharded(
-            graphs.x, Lc, sx, prior, x_router, cfg, want_soft=True)
-        dz_l, cfz, sfz, itz, softz_l = _decode_one_graph_sharded(
-            graphs.z, Lc, sz, prior, z_router, cfg, want_soft=True)
-        if relay_retries > 0:
-            from qec_ldpc_tpu.parallel.graph_sharded import (
-                _relay_one_graph_sharded,
-            )
-
-            rk = jax.random.fold_in(key, jnp.uint32(0x52454C41))
-            kx, kz = jax.random.split(rk)
-            dx_l, solved_x, rx_it = _relay_one_graph_sharded(
-                graphs.x, Lc, sx, prior, x_router, cfg, kx, dx_l, ~sfx,
-                relay_retries)
-            dz_l, solved_z, rz_it = _relay_one_graph_sharded(
-                graphs.z, Lc, sz, prior, z_router, cfg, kz, dz_l, ~sfz,
-                relay_retries)
-            sfx, sfz = ~solved_x, ~solved_z
-            itx, itz = itx + rx_it, itz + rz_it
-        dx = lax.all_gather(dx_l, GRAPH_AXIS, axis=0, tiled=True)
-        dz = lax.all_gather(dz_l, GRAPH_AXIS, axis=0, tiled=True)
-        softx = lax.all_gather(softx_l, GRAPH_AXIS, axis=0, tiled=True)
-        softz = lax.all_gather(softz_l, GRAPH_AXIS, axis=0, tiled=True)
-        code = _error_code(sfx, sfz, cfx, cfz)
+        (xe, ze, sx, sz, dx, dz, softx, softz, code, itx,
+         itz) = _soft_decode_shard(
+            graphs, Lc, x_router, z_router, cfg, weight, error_model,
+            relay_retries, batch, bpd, key, error_probability)
         isx = lax.psum(itx * bpd, DATA_AXIS)
         isz = lax.psum(itz * bpd, DATA_AXIS)
         return (xe.astype(jnp.int8), ze.astype(jnp.int8),
@@ -336,5 +358,60 @@ def make_graph_sharded_arrays_chunk(mesh: Mesh, graphs: CodeGraphs,
             iter_samples_x=isx, iter_samples_z=isz,
             soft_x=softx, soft_z=softz)
         return xe, ze, sx, sz, res
+
+    return chunk_fn
+
+
+def make_graph_sharded_osd_chunk(mesh: Mesh, graphs: CodeGraphs,
+                                 weight: int, cfg: BPConfig, batch: int,
+                                 error_model: str = "weight",
+                                 relay_retries: int = 0):
+    """The graph-sharded device chunk of the FAST quality mode (VERDICT r3
+    #2): same call contract as ``montecarlo.make_osd_chunk`` —
+    ``(i_minus_p, key, p, consts) -> (counters_ok, iters[2], nfail,
+    bundle)`` — with the decode sharded over the graph axis.  Non-failed
+    lanes classify on device (graph-replicated classification, counters
+    psum'd over the data axis); failed lanes are compacted first within
+    each data shard for prefix-only host fetch.
+
+    NOTE on multi-host: bundle columns are REPLICATED over the graph axis,
+    so the host must fetch each data shard's columns from exactly one graph
+    replica — ``montecarlo._gather_failed_lanes(owned_starts=...)`` handles
+    the dedup/ownership."""
+    from qec_ldpc_tpu.decoder.decode import DecodeResult
+    from qec_ldpc_tpu.parallel.montecarlo import _classify_and_compact
+
+    G, num_data, bpd, Lc, x_router, z_router = _check_graph_osd_mesh(
+        mesh, graphs, cfg, batch)
+
+    def shard_fn(i_minus_p, key, error_probability):
+        (xe, ze, sx, sz, dx, dz, softx, softz, code, itx,
+         itz) = _soft_decode_shard(
+            graphs, Lc, x_router, z_router, cfg, weight, error_model,
+            relay_retries, batch, bpd, key, error_probability)
+        res = DecodeResult(
+            decisions_x=dx, decisions_z=dz, error_code=code,
+            iters_x=jnp.int32(0), iters_z=jnp.int32(0),
+            iter_samples_x=itx * bpd, iter_samples_z=itz * bpd,
+            soft_x=softx, soft_z=softz)
+        counters, nfail, bundle = _classify_and_compact(
+            i_minus_p, xe.astype(jnp.int32), ze.astype(jnp.int32),
+            sx, sz, res)
+        iters = jnp.stack([res.iter_samples_x, res.iter_samples_z])
+        return (lax.psum(counters, DATA_AXIS), lax.psum(iters, DATA_AXIS),
+                nfail[None], bundle)
+
+    bundle_specs = (P(None, DATA_AXIS),) * 8 + (P(DATA_AXIS),)
+    mapped = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(DATA_AXIS), bundle_specs),
+        check_vma=False,
+    )
+    jitted = jax.jit(mapped)
+
+    def chunk_fn(i_minus_p, key, error_probability, consts=None):
+        # consts: accepted for signature parity (the engines are XLA loops)
+        return jitted(i_minus_p, key, error_probability)
 
     return chunk_fn

@@ -194,8 +194,16 @@ def classify_batch(
     x_decoded: jnp.ndarray,     # (n, batch) hard decisions
     z_decoded: jnp.ndarray,
     error_code: jnp.ndarray,    # (batch,) bitmask from decode_batch
+    valid: jnp.ndarray | None = None,  # (batch,) bool lane mask
 ) -> jnp.ndarray:
-    """Returns int32 counter vector of length NUM_COUNTERS (summed over batch)."""
+    """Returns int32 counter vector of length NUM_COUNTERS (summed over batch).
+
+    ``valid``: lanes where it is False are excluded from EVERY counter
+    (including tested counts) — used by the fast quality mode to classify
+    the non-failed lanes on device while the failed lanes detour through
+    host repair (parallel/montecarlo.py); the two partial counter vectors
+    sum to exactly the full-batch classification.
+    """
     batch = error_code.shape[0]
     x_tested = jnp.any(x_errors != 0, axis=0)
     z_tested = jnp.any(z_errors != 0, axis=0)
@@ -216,10 +224,18 @@ def classify_batch(
     logical_cnt = undetected & logical
     corrected_cnt = undetected & ~logical
 
-    def s(mask):
-        return jnp.sum(mask, dtype=jnp.int32)
+    if valid is None:
+        tested = jnp.int32(batch)
+
+        def s(mask):
+            return jnp.sum(mask, dtype=jnp.int32)
+    else:
+        tested = jnp.sum(valid, dtype=jnp.int32)
+
+        def s(mask):
+            return jnp.sum(mask & valid, dtype=jnp.int32)
 
     return jnp.stack([
-        jnp.int32(batch), s(x_tested), s(z_tested), s(corrected_cnt),
+        tested, s(x_tested), s(z_tested), s(corrected_cnt),
         s(syn_x), s(syn_z), s(logical_cnt), s(conv_x), s(conv_z),
     ])

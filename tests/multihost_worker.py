@@ -73,6 +73,26 @@ def main() -> int:
         jax.distributed.shutdown()
         return 0
 
+    if mode == "osd":
+        # multi-process OSD quality mode (VERDICT r3 #5): device chunk is a
+        # process-spanning shard_map; each process OSD-repairs its locally
+        # addressable failed lanes; per-chunk failed counters all-reduce
+        # across processes.  Single-key sample stream -> counters bit-match
+        # the single-process (and single-device) run for min-sum.
+        from qec_ldpc_tpu.parallel.montecarlo import run_monte_carlo_osd
+
+        code = construct_code(3, 3, 6, 7, 2, 3)
+        graphs = CodeGraphs.build(code)
+        mesh = make_mesh(num_data=len(jax.devices()))
+        cfg = BPConfig(max_iters=15, algorithm="min-sum", kernel="xla")
+        counters, _ = run_monte_carlo_osd(
+            graphs, 4, 128, 0.02, cfg, seed=7, batch_size=64, lam=1,
+            relay_retries=1, mesh=mesh)
+        print("COUNTERS", ",".join(map(str, np.asarray(counters).tolist())),
+              flush=True)
+        jax.distributed.shutdown()
+        return 0
+
     if mode == "cli":
         # full harness path over the process-spanning mesh: process-0-only
         # writes, broadcast seed/resume, replicated stats on every process

@@ -174,3 +174,44 @@ def test_two_process_graph_sharded_statistics(small_code):
     ref, _ = fn(make_rank_basis_test(small_code), jax.random.PRNGKey(7),
                 jnp.float32(0.02), jnp.arange(2, dtype=jnp.uint32))
     assert counters[0] == np.asarray(ref).tolist()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_two_process_osd_quality_mode(small_graphs):
+    """Multi-process OSD (VERDICT r3 #5): the quality mode runs across a
+    2-process loopback mesh — each process repairs its locally addressable
+    failed lanes, failed counters all-reduce per chunk — and the post-repair
+    counters bit-match the SINGLE-DEVICE run (single-key sample stream +
+    exact min-sum decode + deterministic OSD)."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, f"127.0.0.1:{port}", "2", str(i), "osd"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    counters = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if ln.startswith("COUNTERS")][0]
+        counters.append([int(x) for x in line.split()[1].split(",")])
+    assert counters[0] == counters[1], "processes disagree on OSD counters"
+
+    from qec_ldpc_tpu.decoder import BPConfig
+    from qec_ldpc_tpu.parallel.montecarlo import run_monte_carlo_osd
+
+    cfg = BPConfig(max_iters=15, algorithm="min-sum", kernel="xla")
+    ref, _ = run_monte_carlo_osd(small_graphs, 4, 128, 0.02, cfg, seed=7,
+                                 batch_size=64, lam=1, relay_retries=1)
+    assert counters[0] == np.asarray(ref).tolist()

@@ -194,8 +194,10 @@ def test_run_monte_carlo_osd_improves_on_base(small_graphs, algorithm):
 
 def test_run_monte_carlo_osd_mesh_bitmatch(small_graphs):
     """VERDICT r2 #9: OSD composes with a device mesh.  The chunk key is
-    partition-independent (one key per chunk, GSPMD shards the batch), so
-    mesh and single-device counters are BIT-IDENTICAL."""
+    partition-independent (one key per chunk; each shard_map shard slices
+    its columns of the full-batch draw, and relay gammas slice the
+    full-batch uniform), so mesh and single-device counters are
+    BIT-IDENTICAL."""
     from qec_ldpc_tpu.parallel import make_mesh
 
     cfg = BPConfig(max_iters=15, algorithm="min-sum")
@@ -226,14 +228,61 @@ def test_run_monte_carlo_osd_resume(small_graphs):
     np.testing.assert_array_equal(full, resumed)
 
 
-def test_run_monte_carlo_osd_rejects_multihost(small_graphs, monkeypatch):
+def test_run_monte_carlo_osd_mesh_pallas(small_graphs):
+    """Advisor r3 (medium): the quality mode's device chunk is a shard_map,
+    so the fused Pallas kernels compose with a data mesh (GSPMD could not
+    auto-partition a pallas_call).  Interpret-mode kernels on the CPU mesh;
+    counters must satisfy the OSD invariants."""
     from qec_ldpc_tpu.parallel import make_mesh
 
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(ValueError, match="single-process"):
-        run_monte_carlo_osd(small_graphs, 4, 64, 0.02,
-                            BPConfig(max_iters=5, algorithm="min-sum"),
-                            seed=1, mesh=make_mesh(num_data=8), lam=0)
+    cfg = BPConfig(max_iters=10, algorithm="min-sum", kernel="pallas",
+                   kernel_tile_batch=8)
+    osd, _ = run_monte_carlo_osd(small_graphs, 4, 64, 0.02, cfg, seed=5,
+                                 batch_size=64, lam=0,
+                                 mesh=make_mesh(num_data=8))
+    assert osd[C_TESTED] == 64
+    assert osd[C_SYN_X] == 0 and osd[C_SYN_Z] == 0
+    assert osd[C_CORRECTED] + osd[C_LOGICAL] == osd[C_TESTED]
+
+
+def test_gather_failed_lanes_prefix_only(small_graphs):
+    """The fast quality mode must ship ONLY failed lanes to the host: the
+    device chunk's nfail + compacted bundle agree with a full classification
+    of the same chunk (counters_ok + failed-lane classification == the
+    classify-everything counters)."""
+    from qec_ldpc_tpu.parallel.montecarlo import (
+        _gather_failed_lanes,
+        _repair_and_classify_np,
+        make_osd_chunk,
+    )
+    from qec_ldpc_tpu.sampling.classify import make_rank_basis_test
+
+    graphs = small_graphs
+    cfg = BPConfig(max_iters=10, algorithm="min-sum", kernel="xla",
+                   return_soft=True)
+    lt = make_rank_basis_test(graphs.code)
+    chunk = make_osd_chunk(graphs, 5, cfg, 128)
+    counters_ok, iters, nfail, bundle = chunk(
+        lt, jax.random.PRNGKey(3), jnp.float32(0.02), None)
+    k = int(np.asarray(nfail)[0])
+    assert k > 0, "fixture produced no failures; raise the weight"
+    failed = _gather_failed_lanes(nfail, bundle)
+    assert failed[-1].shape == (k,)          # exactly the failed lanes
+    assert ((failed[-1] & (SYNDROME_FAIL_X | SYNDROME_FAIL_Z)) != 0).all()
+    # counters_ok + classify(failed, no repair) == classify everything
+    cnt_failed = _repair_and_classify_np(None, lt, failed)
+    from qec_ldpc_tpu.parallel.montecarlo import _sample_and_decode
+    from qec_ldpc_tpu.sampling.classify import classify_batch
+
+    xe_i, ze_i, sx, sz, res = _sample_and_decode(
+        graphs, jax.random.PRNGKey(3), 5, jnp.float32(0.02), cfg, 128,
+        "weight")
+    full = classify_batch(lt, xe_i, ze_i,
+                          res.decisions_x.astype(jnp.int32),
+                          res.decisions_z.astype(jnp.int32), res.error_code)
+    np.testing.assert_array_equal(
+        np.asarray(counters_ok, dtype=np.int64) + cnt_failed,
+        np.asarray(full, dtype=np.int64))
 
 
 def test_run_monte_carlo_osd_graph_mesh_bitmatch(small_graphs):
