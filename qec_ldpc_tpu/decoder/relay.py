@@ -124,8 +124,9 @@ def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
     return decisions, solved, r_used, lane_iters
 
 
-@partial(jax.jit, static_argnames=("graphs", "cfg", "retries",
-                                   "gamma_low", "gamma_high", "gamma_lanes"))
+# gamma_low/high are TRACED (uniform minval/maxval accept tracers), so a
+# damping-range sweep (benchmarks/relay_tuning.py) reuses ONE compilation
+@partial(jax.jit, static_argnames=("graphs", "cfg", "retries", "gamma_lanes"))
 def relay_decode_batch(
     graphs: CodeGraphs,
     syndrome_x: jnp.ndarray,

@@ -155,6 +155,40 @@ def load_code_and_graphs(spec: str):
     return code, CodeGraphs.build(code)
 
 
+def resolve_logical_test_for_code(code, logical_test: str):
+    """The CLI's logical-test operand: the rank-basis test (bit-identical to
+    the dense iMinusP matvec at O(rank * n) memory, VERDICT r2 #2) — unless
+    a file-loaded code ships an iMinusP with a DIFFERENT kernel than the
+    PCM-derived annihilator, in which case the file's matrix wins (advisor
+    finding r3: a deliberately different shipped matrix must not be
+    silently reinterpreted).  Equivalence is a one-time GF(2) rank check:
+    same rowspace <=> same kernel <=> identical classification.
+
+    Returns ``(test_operand, note_or_None)``.
+    """
+    import numpy as np
+
+    test = make_rank_basis_test(code, logical_test)
+    shipped = getattr(code, "_i_minus_p", None)
+    if shipped is None or logical_test != "reference":
+        return test, None
+    from qec_ldpc_tpu.codes.construction import build_i_minus_p, gf2_rref
+
+    shipped = np.asarray(shipped) % 2
+    ours = build_i_minus_p(code.pcm_x, code.pcm_z)
+    r_ship = len(gf2_rref(shipped)[1])
+    r_ours = len(gf2_rref(ours)[1])
+    r_both = len(gf2_rref(np.concatenate([shipped, ours]))[1])
+    if r_ship == r_ours == r_both:
+        return test, None
+    import jax.numpy as jnp
+
+    return jnp.asarray(shipped), (
+        f"file-shipped iMinusP differs from the PCM-derived annihilator "
+        f"(ranks {r_ship}/{r_ours}/joint {r_both}); classifying with the "
+        f"FILE's matrix")
+
+
 def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     # distributed FIRST: jax.distributed.initialize must run before anything
     # touches the backend, and enable_persistent_compile_cache calls
@@ -174,10 +208,9 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
         log.write("\n" + datetime.datetime.now().ctime() + "\n")
 
     code, graphs = load_code_and_graphs(cfg.code_file)
-    # rank-basis logical test: bit-identical to the dense iMinusP matvec
-    # (tests/test_classify_basis.py) at O(rank * n) memory instead of
-    # O(4n^2), so large-P codes classify on one chip (VERDICT r2 #2)
-    i_minus_p = make_rank_basis_test(code, cfg.logical_test)
+    i_minus_p, note = resolve_logical_test_for_code(code, cfg.logical_test)
+    if note:
+        _log(log, f"  NOTE: {note}")
     bp_cfg = cfg.bp_config()
     seed = cfg.seed if cfg.seed is not None else random.SystemRandom().getrandbits(32)
     if jax.process_count() > 1 and cfg.seed is None:

@@ -360,8 +360,11 @@ def bp_run_pallas(
     scratch_bytes = (2 * B * L * blk + B * blk + 8) * tile_batch * 4
     # io blocks are double-buffered across grid steps; leave generous margin
     io_bytes = 2 * (E_rows + num_checks + 64) * tile_batch * 4
-    vmem_limit = min(110 * 1024 * 1024,
-                     scratch_bytes + io_bytes + rolls_bytes + (16 << 20))
+    declared = scratch_bytes + io_bytes + rolls_bytes
+    # headroom for compiler temporaries/spills: grows with the footprint
+    # (measured ~3.6 MiB short of the old flat 16 MiB at P=521 edge rows)
+    vmem_limit = min(120 * 1024 * 1024,
+                     max(declared + (16 << 20), declared * 3 // 2))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -202,7 +202,11 @@ def layered_run_pallas(
 
     scratch_bytes = ((B * L + L + B) * blk + 8) * tile_batch * 4
     io_bytes = 2 * (L * P + num_checks + 64) * tile_batch * 4
-    vmem_limit = min(110 * 1024 * 1024, scratch_bytes + io_bytes + (16 << 20))
+    declared = scratch_bytes + io_bytes
+    # headroom for compiler temporaries/spills scales with the footprint
+    # (a flat 16 MiB measured ~3.6 MiB short at P=521 edge rows)
+    vmem_limit = min(120 * 1024 * 1024,
+                     max(declared + (16 << 20), declared * 3 // 2))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -324,6 +324,12 @@ def make_graph_sharded_arrays_chunk(mesh: Mesh, graphs: CodeGraphs,
     engine the decisions AND soft outputs bit-match the single-device path.
     Circulant QC codes only (the lifted lane-sharded engine has no soft
     outputs).  Returns ``(xe, ze, sx, sz, result: DecodeResult)``.
+
+    Accounting caveat (advisor r3): only COUNTERS are partition-invariant.
+    ``iter_samples_*`` sums each data shard's own early-exit loop count
+    (x bpd), and shards stop at different check-every boundaries, so
+    iteration TOTALS are mesh-shape-dependent (the honest per-shard work,
+    not the single-device loop's).
     """
     from qec_ldpc_tpu.decoder.decode import DecodeResult
 

@@ -259,3 +259,35 @@ def test_init_file_flag_overrides():
     assert cfg.results_dir == "/tmp/x"
     assert cfg.count == 5
     assert cfg.code_file == "/root/reference/QEC_LDPC/code610.txt"
+
+
+def test_cli_logical_test_honors_divergent_shipped_iminusp(tmp_path):
+    """Advisor r3: a file-shipped iMinusP with a DIFFERENT kernel than the
+    PCM-derived annihilator must win over the rank-basis rebuild (with a
+    note); the reference's own file, whose matrix IS the annihilator,
+    resolves to the rank-basis test silently."""
+    import dataclasses
+
+    import numpy as np
+
+    from qec_ldpc_tpu.codes import construct_code, load_code_file
+    from qec_ldpc_tpu.harness.cli import resolve_logical_test_for_code
+    from qec_ldpc_tpu.sampling.classify import RankBasisTest
+
+    ref = load_code_file(
+        "/root/reference/J_3_K_3_L_6_P_7_s_2_t_3.txt")
+    test, note = resolve_logical_test_for_code(ref, "reference")
+    assert isinstance(test, RankBasisTest) and note is None
+
+    # same code, deliberately different iMinusP (identity: kernel = {0})
+    n2 = 2 * ref.n
+    weird = dataclasses.replace(ref, _i_minus_p=np.eye(n2, dtype=np.int64))
+    test2, note2 = resolve_logical_test_for_code(weird, "reference")
+    assert note2 is not None and "FILE" in note2
+    assert not isinstance(test2, RankBasisTest)
+    assert np.array_equal(np.asarray(test2), np.eye(n2))
+
+    # constructed codes have no shipped matrix: always the rank basis
+    qc = construct_code(3, 3, 6, 7, 2, 3)
+    test3, note3 = resolve_logical_test_for_code(qc, "reference")
+    assert isinstance(test3, RankBasisTest) and note3 is None
