@@ -14,6 +14,11 @@ same per-sample early exit (BP breaks on convergence, DecoderCPU.h:282,287),
 per results/[J=4,K=5,L=10,P=61,s=9,t=49][[n=610,k=61]]_W_15_MAX_100_p_0.01.txt
 (SURVEY §6).  Statistical parity is asserted in the same run: the corrected
 fraction must match the reference's 0.99539 within Monte-Carlo noise.
+Prior provenance (r4, benchmarks/data/golden_deep_r4.jsonl): unlike the
+W>=20 subdir corpus (generated at prior 0.02), the 100k-sample W=15
+HEADLINE file matches prior 0.01 exactly (1M-sample z=+0.27 at 0.01 vs
++10.2 at 0.02) — so this benchmark's 0.01 decode against its 0.99539 IS the
+apples-to-apples comparison.
 
 Secondary fields (same JSON line): fixed-work BP-iteration throughput — the
 north-star metric of BASELINE.json (>=1e6 BP-iteration*codewords/s/chip) —
@@ -118,7 +123,10 @@ def measure_vpu_peak(jax, jnp) -> float:
 
     n = 2 * 1024 * 1024
     depth = 192
-    reps = 32
+    # reps sized so the chain's compute (~100 ms at the measured rate)
+    # dominates the tunneled runtime's dispatch/transfer latency — at
+    # reps=32 the measurement undershot by ~3x
+    reps = 128
 
     @jax.jit
     def chain(x, a, b):
@@ -127,16 +135,19 @@ def measure_vpu_peak(jax, jnp) -> float:
                 y = y * a + b
             return y, ()
         y, _ = jax.lax.scan(body, x, None, length=reps)
-        return y
+        # scalar output: block_until_ready is unreliable through the
+        # tunneled runtime, so timings must materialize a (tiny) value on
+        # the host; the sum depends on every element, defeating DCE
+        return jnp.sum(y)
 
     x = jnp.full((n,), 1.000001, jnp.float32)
     a = jnp.float32(0.9999999)
     b = jnp.float32(1e-7)
-    chain(x, a, b).block_until_ready()  # compile
+    float(chain(x, a, b))  # compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        chain(x, a, b).block_until_ready()
+        float(chain(x, a, b))
         best = min(best, time.perf_counter() - t0)
     return 2.0 * depth * reps * n / best
 

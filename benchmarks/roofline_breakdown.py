@@ -61,7 +61,7 @@ def main(out_path: str = "benchmarks/data/roofline_breakdown_r4.jsonl") -> int:
 
     # ---- 1. peak reality: fma chain vs mul chain --------------------------
     def chain_rate(op):
-        n, depth, reps = 2 * 1024 * 1024, 192, 32
+        n, depth, reps = 2 * 1024 * 1024, 192, 128
 
         @jax.jit
         def chain(x, a, b):
@@ -70,15 +70,17 @@ def main(out_path: str = "benchmarks/data/roofline_breakdown_r4.jsonl") -> int:
                     y = op(y, a, b)
                 return y, ()
             y, _ = jax.lax.scan(body, x, None, length=reps)
-            return y
+            # scalar output: block_until_ready is unreliable through the
+            # tunneled runtime — materialize a host value (sum defeats DCE)
+            return jnp.sum(y)
 
         x = jnp.full((n,), 1.000001, jnp.float32)
         a, b = jnp.float32(0.9999999), jnp.float32(1e-7)
-        chain(x, a, b).block_until_ready()
+        float(chain(x, a, b))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            chain(x, a, b).block_until_ready()
+            float(chain(x, a, b))
             best = min(best, time.perf_counter() - t0)
         return depth * reps * n / best  # op applications / s
 
@@ -196,21 +198,23 @@ def main(out_path: str = "benchmarks/data/roofline_breakdown_r4.jsonl") -> int:
     def hbm_bw():
         n = 64 * 1024 * 1024  # 256 MB f32: far beyond VMEM
 
+        passes = 64
+
         @jax.jit
         def bump(x):
             def body(y, _):
                 return y + jnp.float32(1.0), ()
-            y, _ = jax.lax.scan(body, x, None, length=8)
-            return y
+            y, _ = jax.lax.scan(body, x, None, length=passes)
+            return jnp.sum(y)  # scalar: reliable host-side completion
 
         x = jnp.zeros((n,), jnp.float32)
-        bump(x).block_until_ready()
+        float(bump(x))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            bump(x).block_until_ready()
+            float(bump(x))
             best = min(best, time.perf_counter() - t0)
-        return 8 * (2 * 4 * n) / best  # read + write per pass
+        return passes * (2 * 4 * n) / best  # read + write per pass
 
     bw = hbm_bw()
     edge_state = (graphs.x.B * graphs.x.L * graphs.x.P

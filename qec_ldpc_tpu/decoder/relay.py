@@ -14,9 +14,13 @@ device arithmetic: no host round-trip, no Gaussian elimination.)
 The DISORDER is the mechanism, not the damping: measured on weight-5
 failures of the P=7 code (16 retries, 3 seeds), scalar damping repairs
 almost nothing (γ≡0.5: 6/1143 failures; γ≡0.9: 0) while random per-variable
-draws repair ~84% — with the range mattering only mildly (best measured:
-γ ~ U[0.2, 0.95), the defaults below; U[0.1, 0.9) and U[0.5, 0.99) within
-a few percent).
+draws repair ~84% — with the range mattering only mildly.  Re-tuned on the
+codes that matter (r4, benchmarks/data/relay_tuning_r4.jsonl — [[610,61]]
+W∈{40,50} prior 0.02 and BB [[144,12,12]] p∈{0.02,0.03}, 7 ranges × 3
+seeds): the WIDEST range γ ~ U[0.05, 1.0) wins on every workload where
+failures exist (W=40 repair 0.737 vs 0.703 for the old [0.2, 0.95);
+W=50 0.405 vs 0.381; BB p=0.03 0.972 vs 0.963) — more disorder breaks
+more traps — so it is the default below.
 
 Unlike OSD, a relay repair is a genuine BP fixed point — typically the
 low-weight coset representative — so repaired lanes convert into CORRECTED
@@ -135,8 +139,8 @@ def relay_decode_batch(
     key: jax.Array,
     cfg: BPConfig = BPConfig(),
     retries: int = 8,
-    gamma_low: float = 0.2,
-    gamma_high: float = 0.95,
+    gamma_low: float = 0.05,
+    gamma_high: float = 1.0,
     consts=None,
     gamma_lanes: int | None = None,
     lane_offset=0,

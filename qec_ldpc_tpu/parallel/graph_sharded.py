@@ -554,8 +554,8 @@ def _reencode_mismatch(graph, Lc, router, decisions_flat: jnp.ndarray,
 
 def _relay_one_graph_sharded(graph, Lc, syndrome, prior, router,
                              cfg: BPConfig, key, decisions0, solved0,
-                             retries: int, gamma_low: float = 0.2,
-                             gamma_high: float = 0.95):
+                             retries: int, gamma_low: float = 0.05,
+                             gamma_high: float = 1.0):
     """Graph-sharded image of decoder/relay._relay_one_graph: randomized
     per-variable-damped min-sum retries for lanes whose hard decision
     violates the syndrome, run INSIDE shard_map over the (data, graph) mesh.

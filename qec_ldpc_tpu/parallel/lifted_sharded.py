@@ -287,7 +287,7 @@ def _decode_one(adapter: ShardedLiftedGraph, syndrome: jnp.ndarray,
 
 def _relay_one_lifted(adapter: ShardedLiftedGraph, syndrome: jnp.ndarray,
                       prior, cfg, key, decisions0, solved0, retries: int,
-                      gamma_low: float = 0.2, gamma_high: float = 0.95):
+                      gamma_low: float = 0.05, gamma_high: float = 1.0):
     """Lane-sharded image of decoder/relay._relay_one_graph: damped min-sum
     retries inside shard_map with ppermute halos.  Each device draws damping
     for its own variable band; ``expand_vars``'s halo rolls deliver every

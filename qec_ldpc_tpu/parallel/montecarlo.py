@@ -637,6 +637,17 @@ def run_monte_carlo(
         totals += np.asarray(init_counters, dtype=np.int64)
     total_iters = 0
     num_chunks = -(-count // chunk_samples)
+    if num_chunks % steps_per_call:
+        # a ragged last group is a SECOND compiled program, and loading an
+        # executable onto the tunneled chip costs seconds — prefer the
+        # largest divisor of num_chunks <= steps_per_call so the whole run
+        # is one program (unless that collapses the scan depth so far the
+        # per-dispatch tax would dominate instead).  Deterministic in
+        # (count, batch, steps_per_call), so resume group indices agree.
+        div = next((d for d in range(min(steps_per_call, num_chunks), 0, -1)
+                    if num_chunks % d == 0), 1)
+        if div >= max(1, steps_per_call // 8):
+            steps_per_call = div
     group_ids = [np.arange(g, min(g + steps_per_call, num_chunks),
                            dtype=np.uint32)
                  for g in range(0, num_chunks, steps_per_call)]
