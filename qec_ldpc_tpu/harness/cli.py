@@ -248,9 +248,21 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
     journal = (Journal(os.path.join(cfg.results_dir, "journal.jsonl"))
                if is_main else None)
 
+    # multi-WEIGHT sweeps ride the dynamic sampler: one compiled program for
+    # the whole sweep instead of one per weight (compile + remote executable
+    # load cost seconds per program over the tunneled runtime).  Single-point
+    # runs keep the static sampler, so their sample streams (and committed
+    # artifacts, e.g. the literal init.txt run) stay reproducible.
+    sweep = cfg.sweep_points()
+    weights = sorted({w for w, _ in sweep})
+    weight_cap = None
+    if (len(weights) > 1 and cfg.error_model == "weight"
+            and cfg.num_graph == 1 and cfg.osd < 0):
+        weight_cap = -(-max(weights) // 8) * 8  # pad to a multiple of 8
+
     all_stats: list[CodeStatistics] = []
     with debug.trace(cfg.profile_dir or None):
-        for i, (w, p) in enumerate(cfg.sweep_points()):
+        for i, (w, p) in enumerate(sweep):
             # the run_id must pin EVERYTHING a resumed continuation depends
             # on: chunk sequencing (batch_size, steps_per_call — start_chunk
             # counts dispatch groups) and counter semantics (logical_test);
@@ -266,6 +278,10 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                 # graph-sharded sum-product reassociates (statistically but
                 # not bit-equivalent), so a continuation must not blend
                 run_id += f"|ng={cfg.num_graph}"
+            if weight_cap is not None:
+                # the dynamic sampler's draw stream differs from the static
+                # one, so a continuation must not blend across modes
+                run_id += f"|wcap={weight_cap}"
             if cfg.logical_test != "reference":
                 run_id += f"|lt={cfg.logical_test}"
             fname = format_result_filename(str(code), w, cfg.max_iterations, p)
@@ -314,6 +330,7 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
                     init_counters=init_counters,
                     steps_per_call=cfg.steps_per_call,
                     relay_retries=cfg.relay, i_minus_p=i_minus_p,
+                    weight_cap=weight_cap,
                 )
             duration_us = int((time.perf_counter() - t0) * 1e6)
 

@@ -16,7 +16,7 @@ mesh); statistical results are identical because sample keys are derived from
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +41,7 @@ from qec_ldpc_tpu.sampling.classify import (
 from qec_ldpc_tpu.sampling.errors import (
     sample_depolarizing_errors,
     sample_weight_w_errors,
+    sample_weight_w_errors_dynamic,
 )
 
 
@@ -57,10 +58,18 @@ def _resolve_logical_test(graphs: CodeGraphs, i_minus_p):
 def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
                        error_probability, cfg: BPConfig, batch: int,
                        error_model: str, consts=None,
-                       relay_retries: int = 0, mesh: Mesh | None = None):
+                       relay_retries: int = 0, mesh: Mesh | None = None,
+                       weight_cap: int | None = None):
     """The shared device pipeline: sample errors -> syndromes -> decode
     (ensemble-relay-repaired when ``relay_retries > 0``, decoder/relay.py).
     Returns (xe, ze, sx, sz, res) with errors as int32.
+
+    ``weight_cap``: when set (static), ``weight`` is a RUNTIME value and
+    the dynamic sampler draws ``weight_cap`` candidates — so a whole weight
+    sweep shares ONE compiled program (loading an executable onto the
+    tunneled chip costs seconds, so a 60-point sweep saves minutes).  At
+    ``weight == weight_cap`` the draws are bit-identical to the static
+    sampler.
 
     Single source of truth for BOTH the counter path (:func:`_chunk_body`)
     and the array path (:func:`mc_chunk_arrays`) — the quality drivers'
@@ -68,7 +77,11 @@ def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
     these staying identical."""
     n = graphs.code.n
     if error_model == "weight":
-        xe, ze = sample_weight_w_errors(key, n, weight, batch)
+        if weight_cap is not None:
+            xe, ze = sample_weight_w_errors_dynamic(key, n, weight,
+                                                    weight_cap, batch)
+        else:
+            xe, ze = sample_weight_w_errors(key, n, weight, batch)
     elif error_model == "depolarizing":
         xe, ze = sample_depolarizing_errors(key, n, error_probability, batch)
     else:
@@ -98,7 +111,8 @@ def _sample_and_decode(graphs: CodeGraphs, key: jax.Array, weight: int,
 
 def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
                 weight: int, error_probability, cfg: BPConfig, batch: int,
-                error_model: str, consts=None, relay_retries: int = 0):
+                error_model: str, consts=None, relay_retries: int = 0,
+                weight_cap: int | None = None):
     """Sample + decode + classify one batch.  Returns (counters[NUM_COUNTERS],
     iters[2]) with iters = executed BP lane-iterations (sum over batch lanes
     of each lane's iteration count) for [X, Z] — the honest work measure
@@ -110,7 +124,7 @@ def _chunk_body(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
     contrast, needs the host and lives in run_monte_carlo_osd)."""
     xe_i, ze_i, sx, sz, res = _sample_and_decode(
         graphs, key, weight, error_probability, cfg, batch, error_model,
-        consts, relay_retries)
+        consts, relay_retries, weight_cap=weight_cap)
     counters = classify_batch(i_minus_p, xe_i, ze_i,
                               res.decisions_x.astype(jnp.int32),
                               res.decisions_z.astype(jnp.int32),
@@ -132,7 +146,8 @@ def mc_chunk(graphs: CodeGraphs, i_minus_p: jnp.ndarray, key: jax.Array,
 
 
 def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
-                 cfg, batch, error_model, consts=None, relay_retries=0):
+                 cfg, batch, error_model, consts=None, relay_retries=0,
+                 weight_cap=None):
     """Scan several chunks on device in one dispatch.  Each chunk derives its
     key as fold_in(key, chunk_id) — identical statistics to dispatching the
     chunks one by one, but the per-dispatch runtime overhead (tens of ms on
@@ -143,7 +158,7 @@ def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
         ck = jax.random.fold_in(key, c)
         cnt, its = _chunk_body(graphs, i_minus_p, ck, weight,
                                error_probability, cfg, batch, error_model,
-                               consts, relay_retries)
+                               consts, relay_retries, weight_cap)
         return (counters + cnt, iters + its), None
 
     init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.zeros(2, jnp.int32))
@@ -154,50 +169,100 @@ def _scan_chunks(graphs, i_minus_p, key, chunk_ids, weight, error_probability,
 _scan_chunks_jit = jax.jit(
     _scan_chunks,
     static_argnames=("graphs", "weight", "cfg", "batch", "error_model",
-                     "relay_retries"))
+                     "relay_retries", "weight_cap"))
+
+#: dynamic-weight variant: ``weight`` is a traced operand, so every weight of
+#: a sweep reuses ONE compiled program (weight_cap bounds the draw count)
+_scan_chunks_dyn_jit = jax.jit(
+    _scan_chunks,
+    static_argnames=("graphs", "cfg", "batch", "error_model",
+                     "relay_retries", "weight_cap"))
 
 
 def make_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
                        cfg: BPConfig, batch_per_device: int,
-                       error_model: str = "weight", relay_retries: int = 0):
+                       error_model: str = "weight", relay_retries: int = 0,
+                       weight_cap: int | None = None):
     """Build a jitted shard_map chunk group: each data-axis device decodes its
     own sub-batch with its own fold_in key and early-exit loop; counters are
     psum-reduced to a replicated [NUM_COUNTERS] vector (the TPU analog of the
     reference's ``#pragma omp atomic`` counters).
 
     The returned function takes ``(i_minus_p, key, error_probability,
-    chunk_ids)`` and scans the given chunk ids on device in one dispatch
-    (per-chunk key = fold_in(fold_in(key, chunk_id), device_index), identical
-    to dispatching them singly)."""
+    chunk_ids, consts)`` and scans the given chunk ids on device in one
+    dispatch (per-chunk key = fold_in(fold_in(key, chunk_id), device_index),
+    identical to dispatching them singly).
 
-    def shard_fn(i_minus_p, key, error_probability, chunk_ids, consts):
-        idx = jax.lax.axis_index(DATA_AXIS)
+    ``weight_cap``: dynamic-weight mode — the weight rides as a traced
+    operand of ONE memoized compiled program shared by every weight of a
+    sweep (the underlying jit is cached on everything BUT the weight)."""
+    jitted = _sharded_chunk_program(mesh, graphs, cfg, batch_per_device,
+                                    error_model, relay_retries, weight_cap)
+    if weight_cap is None:
+        # weight baked into the program (sample_weight_w_errors needs a
+        # concrete draw count); one program per weight, today's behavior
+        def chunk_fn(i_minus_p, key, error_probability, chunk_ids, consts):
+            return jitted[weight](i_minus_p, key, error_probability,
+                                  chunk_ids, consts, jnp.int32(0))
+    else:
+        def chunk_fn(i_minus_p, key, error_probability, chunk_ids, consts):
+            return jitted(i_minus_p, key, error_probability, chunk_ids,
+                          consts, jnp.int32(weight))
+    return chunk_fn
 
-        def body(carry, c):
-            counters, iters = carry
-            ck = jax.random.fold_in(jax.random.fold_in(key, c), idx)
-            cnt, its = _chunk_body(
-                graphs, i_minus_p, ck, weight, error_probability, cfg,
-                batch_per_device, error_model, consts, relay_retries)
-            return (counters + cnt, iters + its), None
 
-        init = (jnp.zeros(NUM_COUNTERS, jnp.int32), jnp.zeros(2, jnp.int32))
-        (counters, iters), _ = jax.lax.scan(body, init, chunk_ids)
-        return (jax.lax.psum(counters, DATA_AXIS),
-                jax.lax.psum(iters, DATA_AXIS))
+@lru_cache(maxsize=64)
+def _sharded_chunk_program(mesh, graphs, cfg, batch_per_device, error_model,
+                           relay_retries, weight_cap):
+    """The memoized jitted shard_map program behind make_sharded_chunk.
 
-    # check_vma=False: pallas_call's out_shapes carry no varying-mesh-axes
-    # annotation, so the vma checker rejects ANY kernel='pallas' decode under
-    # shard_map ("vma on jax.ShapeDtypeStruct must not be None").  Disabling
-    # the checker restores classic shard_map semantics (and removes the need
-    # to pcast the scan carry to data-varying).
-    mapped = jax.shard_map(
-        shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(mapped)
+    ``weight_cap is None`` returns a dict-like lazily building one program
+    per static weight; otherwise ONE program whose last operand is the
+    traced weight."""
+
+    def build(static_weight):
+        def shard_fn(i_minus_p, key, error_probability, chunk_ids, consts,
+                     w32):
+            idx = jax.lax.axis_index(DATA_AXIS)
+            w = w32 if weight_cap is not None else static_weight
+
+            def body(carry, c):
+                counters, iters = carry
+                ck = jax.random.fold_in(jax.random.fold_in(key, c), idx)
+                cnt, its = _chunk_body(
+                    graphs, i_minus_p, ck, w, error_probability, cfg,
+                    batch_per_device, error_model, consts, relay_retries,
+                    weight_cap)
+                return (counters + cnt, iters + its), None
+
+            init = (jnp.zeros(NUM_COUNTERS, jnp.int32),
+                    jnp.zeros(2, jnp.int32))
+            (counters, iters), _ = jax.lax.scan(body, init, chunk_ids)
+            return (jax.lax.psum(counters, DATA_AXIS),
+                    jax.lax.psum(iters, DATA_AXIS))
+
+        # check_vma=False: pallas_call's out_shapes carry no varying-mesh-
+        # axes annotation, so the vma checker rejects ANY kernel='pallas'
+        # decode under shard_map ("vma on jax.ShapeDtypeStruct must not be
+        # None").  Disabling the checker restores classic shard_map
+        # semantics (and removes the need to pcast the scan carry).
+        mapped = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(mapped)
+
+    if weight_cap is not None:
+        return build(None)
+
+    class _PerWeight(dict):
+        def __missing__(self, w):
+            self[w] = build(w)
+            return self[w]
+
+    return _PerWeight()
 
 
 @partial(jax.jit, static_argnames=("graphs", "weight", "cfg", "batch",
@@ -577,6 +642,7 @@ def run_monte_carlo(
     steps_per_call: int = 1,
     relay_retries: int = 0,
     i_minus_p=None,
+    weight_cap: int | None = None,
 ):
     """Accumulate statistics counters over ``count`` samples.
 
@@ -602,6 +668,14 @@ def run_monte_carlo(
     :class:`~qec_ldpc_tpu.sampling.classify.RankBasisTest` (bit-identical
     classification at O(rank * n) memory).  Defaults to the rank-basis test
     of ``graphs.code`` in the reference convention.
+
+    ``weight_cap`` (weight model, data-parallel/single-device paths): make
+    ``weight`` a RUNTIME value so every weight of a sweep shares ONE
+    compiled program — remote executable compile+load costs seconds per
+    program, so the reference's own w..W sweep pattern saves minutes.  The
+    sample stream differs from the static sampler (identical at
+    ``weight == weight_cap``); graph-sharded paths ignore it (per-weight
+    programs there).
     """
     i_minus_p = _resolve_logical_test(graphs, i_minus_p)
     key = jax.random.PRNGKey(seed)
@@ -619,7 +693,8 @@ def run_monte_carlo(
                 relay_retries)
         else:
             chunk_fn = make_sharded_chunk(mesh, graphs, weight, cfg, per_dev,
-                                          error_model, relay_retries)
+                                          error_model, relay_retries,
+                                          weight_cap=weight_cap)
         chunk_samples = per_dev * num_data
         consts = kernel_consts(graphs, cfg)
         def run_group(ids, p):
@@ -627,10 +702,17 @@ def run_monte_carlo(
     else:
         chunk_samples = batch_size
         consts = kernel_consts(graphs, cfg)
-        def run_group(ids, p):
-            return _scan_chunks_jit(graphs, i_minus_p, key, ids, weight,
-                                    jnp.float32(p), cfg, batch_size,
-                                    error_model, consts, relay_retries)
+        if weight_cap is not None:
+            def run_group(ids, p):
+                return _scan_chunks_dyn_jit(
+                    graphs, i_minus_p, key, ids, jnp.int32(weight),
+                    jnp.float32(p), cfg, batch_size, error_model, consts,
+                    relay_retries, weight_cap)
+        else:
+            def run_group(ids, p):
+                return _scan_chunks_jit(graphs, i_minus_p, key, ids, weight,
+                                        jnp.float32(p), cfg, batch_size,
+                                        error_model, consts, relay_retries)
 
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     if init_counters is not None:

@@ -149,3 +149,39 @@ def test_dynamic_weight_sampler():
         means.append(sup.sum() / batch)
     assert means == sorted(means)
     assert means[0] <= 1.0 and means[-1] <= w_max
+
+
+def test_dynamic_weight_matches_static_at_cap(small_graphs):
+    """Dynamic-weight mode (r4): a whole weight sweep shares ONE compiled
+    program.  At weight == weight_cap the dynamic sampler's draws are
+    bit-identical to the static sampler, so the counters must match
+    exactly; below the cap the stream differs but statistics must be
+    sane."""
+    from qec_ldpc_tpu.decoder import BPConfig
+    from qec_ldpc_tpu.parallel import run_monte_carlo
+
+    cfg = BPConfig(max_iters=15, algorithm="min-sum", kernel="xla")
+    static, it_s = run_monte_carlo(small_graphs, 8, 256, 0.02, cfg, seed=5,
+                                   batch_size=128)
+    dynamic, it_d = run_monte_carlo(small_graphs, 8, 256, 0.02, cfg, seed=5,
+                                    batch_size=128, weight_cap=8)
+    np.testing.assert_array_equal(static, dynamic)
+    assert it_s == it_d
+    # below the cap: same program, different weight operand
+    low, _ = run_monte_carlo(small_graphs, 2, 256, 0.02, cfg, seed=5,
+                             batch_size=128, weight_cap=8)
+    assert low[0] == 256
+    assert low[3] > static[3]  # weight 2 corrects far more than weight 8
+
+
+def test_dynamic_weight_sharded_matches_static_at_cap(small_graphs):
+    from qec_ldpc_tpu.decoder import BPConfig
+    from qec_ldpc_tpu.parallel import make_mesh, run_monte_carlo
+
+    mesh = make_mesh(num_data=8)
+    cfg = BPConfig(max_iters=15, algorithm="min-sum", kernel="xla")
+    static, _ = run_monte_carlo(small_graphs, 8, 256, 0.02, cfg, seed=5,
+                                batch_size=128, mesh=mesh)
+    dynamic, _ = run_monte_carlo(small_graphs, 8, 256, 0.02, cfg, seed=5,
+                                 batch_size=128, mesh=mesh, weight_cap=8)
+    np.testing.assert_array_equal(static, dynamic)
