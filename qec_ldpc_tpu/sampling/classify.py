@@ -164,10 +164,19 @@ def classify_batch_np(
         n = i_minus_p.basis_x.shape[1]
 
         def sector(basis, pivots, r):
-            basis = np.asarray(basis, dtype=np.int64)
-            coeff = r[np.asarray(pivots)].astype(np.int64)
-            recon = (basis.T @ coeff) % 2
-            return ((recon + r) % 2).astype(bool).any(axis=0)
+            basis = np.asarray(basis)
+            coeff = r[np.asarray(pivots)]          # (rank, batch) 0/1
+            if basis.shape[0] == 0:
+                return r.astype(bool).any(axis=0)
+            # packed-XOR reconstruction (native/gf2.cpp): ~rank/64 word-ops
+            # per output bit vs an int64 matmul — the failed-lane classify
+            # of the fast quality mode runs on the host, so this is on the
+            # quality throughput path at heavy weights
+            recon = native.gf2_matvec(basis.T, coeff.T)
+            if recon is None:
+                recon = ((basis.T.astype(np.int64)
+                          @ coeff.astype(np.int64)) % 2).astype(np.uint8)
+            return ((recon ^ r) != 0).any(axis=0)
 
         logical = (sector(i_minus_p.basis_x, i_minus_p.pivots_x, residual[:n])
                    | sector(i_minus_p.basis_z, i_minus_p.pivots_z,
