@@ -291,3 +291,39 @@ def test_cli_logical_test_honors_divergent_shipped_iminusp(tmp_path):
     qc = construct_code(3, 3, 6, 7, 2, 3)
     test3, note3 = resolve_logical_test_for_code(qc, "reference")
     assert isinstance(test3, RankBasisTest) and note3 is None
+
+
+def test_cli_sweep_uses_dynamic_weight(tmp_path):
+    """Multi-weight CLI sweeps ride the dynamic sampler (one compiled
+    program per sweep, r4): the run completes, every weight gets its
+    result record, and the journal run_id pins the sampler mode (wcap) so
+    resumes never blend streams."""
+    import json
+
+    from qec_ldpc_tpu.harness.cli import run_sweep
+
+    rd = str(tmp_path / "res")
+    cfg = RunConfig(
+        code_file="qc:3,3,6,7,2,3", weight_start=1, weight_end=3,
+        count=128, max_iterations=10, error_probability=0.02, seed=4,
+        batch_size=64, algorithm="min-sum", use_mesh=False,
+        results_dir=rd, log_file=os.path.join(rd, "log.txt"))
+    stats = run_sweep(cfg)
+    assert [s.error_weight for s in stats] == [1, 2, 3]
+    assert all(s.num_errors_tested == 128 for s in stats)
+    # heavier weights correct fewer samples (sanity of the traced weight)
+    assert stats[0].corrected >= stats[1].corrected >= stats[2].corrected
+    journal = [json.loads(ln) for ln in
+               open(os.path.join(rd, "journal.jsonl"))]
+    assert all("wcap=8" in rec["run_id"] for rec in journal)
+
+    # single-point runs keep the static sampler (artifact reproducibility)
+    cfg2 = RunConfig(
+        code_file="qc:3,3,6,7,2,3", weight_start=2, weight_end=2,
+        count=128, max_iterations=10, error_probability=0.02, seed=4,
+        batch_size=64, algorithm="min-sum", use_mesh=False,
+        results_dir=rd, log_file=os.path.join(rd, "log.txt"))
+    run_sweep(cfg2)
+    journal = [json.loads(ln) for ln in
+               open(os.path.join(rd, "journal.jsonl"))]
+    assert any("wcap" not in rec["run_id"] for rec in journal)
