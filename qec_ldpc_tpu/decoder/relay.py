@@ -57,6 +57,15 @@ from qec_ldpc_tpu.decoder.decode import (
 from qec_ldpc_tpu.decoder.min_sum import min_sum_run
 from qec_ldpc_tpu.decoder.sum_product import BPConfig
 
+#: default damping-draw range gamma ~ U[GAMMA_LOW, GAMMA_HIGH) — tuned in r4
+#: (relay_tuning_r4.jsonl; widest range wins on every measured workload).
+#: Callers that persist resumable journals must fold the range they use into
+#: the journal run_id: retry streams drawn from different ranges must never
+#: blend under one id (advisor r4 — the r3->r4 default change was invisible
+#: to ``relay=N``-only run_ids).
+GAMMA_LOW = 0.05
+GAMMA_HIGH = 1.0
+
 
 def _relay_one_graph(graph, syndrome, prior_llr_p, cfg: BPConfig, key,
                      decisions0, solved0, retries: int,
@@ -139,8 +148,8 @@ def relay_decode_batch(
     key: jax.Array,
     cfg: BPConfig = BPConfig(),
     retries: int = 8,
-    gamma_low: float = 0.05,
-    gamma_high: float = 1.0,
+    gamma_low: float = GAMMA_LOW,
+    gamma_high: float = GAMMA_HIGH,
     consts=None,
     gamma_lanes: int | None = None,
     lane_offset=0,

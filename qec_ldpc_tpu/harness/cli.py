@@ -267,13 +267,33 @@ def run_sweep(cfg: RunConfig) -> list[CodeStatistics]:
             # on: chunk sequencing (batch_size, steps_per_call — start_chunk
             # counts dispatch groups) and counter semantics (logical_test);
             # a mismatch must start fresh, never blend
+            # spc must be the EFFECTIVE dispatch-group size (run_monte_carlo
+            # may substitute a divisor of the chunk count; start_chunk counts
+            # dispatch groups, so a different grouping must get a fresh
+            # run_id — advisor r4).  OSD mode journals per chunk, not per
+            # group, so its sequencing is spc-independent; keep the
+            # configured value there for continuity with existing journals.
+            spc_eff = cfg.steps_per_call
+            if cfg.osd < 0:
+                from qec_ldpc_tpu.parallel.montecarlo import (
+                    effective_steps_per_call,
+                )
+
+                spc_eff = effective_steps_per_call(
+                    cfg.count, cfg.batch_size, cfg.steps_per_call, mesh)
             run_id = (f"{code}|COUNT={cfg.count}|MAX={cfg.max_iterations}"
                       f"|p={p:g}|seed={seed}|bs={cfg.batch_size}"
-                      f"|spc={cfg.steps_per_call}")
+                      f"|spc={spc_eff}")
             if cfg.osd >= 0:
                 run_id += f"|osd={cfg.osd}"
             if cfg.relay > 0:
-                run_id += f"|relay={cfg.relay}"
+                from qec_ldpc_tpu.decoder.relay import GAMMA_HIGH, GAMMA_LOW
+
+                # the gamma range shapes the retry streams; a range change
+                # (like r3 -> r4's retuning) must never blend with a journal
+                # written under the old range (advisor r4)
+                run_id += (f"|relay={cfg.relay}"
+                           f"|g={GAMMA_LOW:g}:{GAMMA_HIGH:g}")
             if cfg.num_graph > 1:
                 # graph-sharded sum-product reassociates (statistically but
                 # not bit-equivalent), so a continuation must not blend

@@ -30,10 +30,11 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "i64": 8, "ui64": 8,
                 "i1": 1, "pred": 1}
 
 
-def while_body_texts(hlo_text: str) -> list[str]:
-    """The ``do { ... }`` region text of every ``stablehlo.while`` op, via
-    brace matching (regions are printed inline in the pretty form)."""
-    bodies = []
+def _while_body_ranges(hlo_text: str) -> list[tuple[int, int]]:
+    """(start, end) spans of every ``stablehlo.while`` op's ``do { ... }``
+    region, via brace matching (regions are printed inline in the pretty
+    form).  Nested loops yield nested spans."""
+    ranges = []
     for m in re.finditer(r"stablehlo\.while", hlo_text):
         try:
             k = hlo_text.index(" do {", m.end())
@@ -50,8 +51,28 @@ def while_body_texts(hlo_text: str) -> list[str]:
                 if depth == 0:
                     break
             j += 1
-        bodies.append(hlo_text[start:j])
-    return bodies
+        ranges.append((start, j))
+    return ranges
+
+
+def while_body_texts(hlo_text: str, exclusive: bool = False) -> list[str]:
+    """The ``do { ... }`` region text of every ``stablehlo.while`` op.
+
+    ``exclusive=True`` blanks out nested while bodies from each outer body's
+    text, so every op is attributed to its INNERMOST enclosing loop —
+    without this, counts summed over bodies double-count nested loops'
+    collectives and can drive outside-loop counts negative (advisor r4)."""
+    ranges = _while_body_ranges(hlo_text)
+    texts = []
+    for s, e in ranges:
+        body = hlo_text[s:e]
+        if exclusive:
+            for s2, e2 in ranges:
+                if s < s2 and e2 <= e:  # strictly nested span
+                    body = (body[: s2 - s] + " " * (e2 - s2)
+                            + body[e2 - s:])
+        texts.append(body)
+    return texts
 
 
 def _tensor_bytes(tensor_spec: str) -> int:
@@ -84,21 +105,25 @@ class CollectiveCounts:
 
 def count_collectives(region_text: str) -> CollectiveCounts:
     """Count collective ops and sum their RESULT tensor bytes (the gathered/
-    permuted payload per device) in a region of StableHLO text."""
+    permuted payload per device) in a region of StableHLO text.
+
+    Result types may be a single ``tensor<...>`` or a variadic tuple
+    ``(tensor<...>, tensor<...>)`` (e.g. a multi-operand all_reduce); both
+    forms are matched and a tuple's bytes are summed (advisor r4)."""
     counts: dict = {}
     result_bytes: dict = {}
+    _result = r"(\((?:[^()]|\([^)]*\))*\)|tensor<[^>]*>)"
     for op in COLLECTIVE_OPS:
         pat = re.compile(
-            r'"stablehlo\.%s"\(.*?\).*?:\s*\(.*?\)\s*->\s*(tensor<[^>]*>)'
-            % op)
+            r'"stablehlo\.%s"\(.*?\).*?:\s*\(.*?\)\s*->\s*%s' % (op, _result))
         hits = pat.findall(region_text)
         # pretty-printed (non-quoted) form as fallback
         hits += re.findall(
-            r"stablehlo\.%s\s[^\n\"]*->\s*(tensor<[^>]*>)" % op, region_text)
+            r"stablehlo\.%s\s[^\n\"]*->\s*%s" % (op, _result), region_text)
         counts[op] = len(hits)
-        result_bytes[op] = sum(_tensor_bytes(f"tensor<{h}>"
-                                             if not h.startswith("tensor")
-                                             else h) for h in hits)
+        result_bytes[op] = sum(
+            _tensor_bytes(t)
+            for h in hits for t in re.findall(r"tensor<[^>]*>", h))
     return CollectiveCounts(counts=counts, result_bytes=result_bytes)
 
 
@@ -108,9 +133,10 @@ def loop_collective_summary(lowered_text: str) -> dict:
     Returns {"bodies": [CollectiveCounts...], "outside": CollectiveCounts,
     "total": CollectiveCounts}.  "Inside a body" == per BP iteration for the
     decode programs this framework lowers (each decode has one while loop
-    per graph).
+    per graph).  Bodies are EXCLUSIVE of nested loops, so summing bodies +
+    outside equals the total even for nested while programs.
     """
-    bodies = while_body_texts(lowered_text)
+    bodies = while_body_texts(lowered_text, exclusive=True)
     total = count_collectives(lowered_text)
     body_counts = [count_collectives(b) for b in bodies]
     outside_counts = {}

@@ -11,7 +11,9 @@ words (numpy ``packbits(bitorder="little")`` viewed as uint64).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
+import platform
 import subprocess
 import threading
 
@@ -19,7 +21,30 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "gf2.cpp")
-_SO = os.path.join(_DIR, "_gf2.so")
+
+
+def _host_tag() -> str:
+    """Short hash identifying this host's ISA surface.
+
+    The library is built with ``-march=native``, so a cached ``.so`` carried
+    to a host lacking the build host's ISA extensions (NFS home, baked
+    container image) would load fine via CDLL but SIGILL at call time — which
+    cannot be caught in-process (advisor r4).  Keying the cache file on
+    (machine, cpuinfo flags) makes a foreign-host cache a miss, not a crash.
+    """
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    ident += "|" + line.split(":", 1)[-1].strip()
+                    break
+    except OSError:
+        ident += "|" + platform.processor()
+    return hashlib.sha256(ident.encode()).hexdigest()[:12]
+
+
+_SO = os.path.join(_DIR, f"_gf2-{_host_tag()}.so")
 
 _lock = threading.Lock()
 _lib = None

@@ -582,6 +582,25 @@ def run_monte_carlo_osd(
                                   error_model, relay_retries, mesh)
         owned_starts = None  # data-only: column ranges are unreplicated
     multi = jax.process_count() > 1
+    if multi:
+        # the failed-lane counters are summed with process_allgather below;
+        # that is only correct when each process decodes a DISJOINT slice of
+        # the batch — i.e. the device half runs as a shard_map over a mesh
+        # spanning every process.  With mesh=None (or a mesh missing some
+        # process) every process would decode the full batch and failures
+        # would be counted once per process (advisor r4 medium).
+        if mesh is None:
+            raise ValueError(
+                "run_monte_carlo_osd with jax.process_count() > 1 requires "
+                "a mesh spanning all processes (mesh=None would decode the "
+                "full batch on every process and multi-count failures)")
+        procs = {d.process_index for d in mesh.devices.flat}
+        if len(procs) != jax.process_count():
+            raise ValueError(
+                f"run_monte_carlo_osd mesh spans processes {sorted(procs)} "
+                f"but {jax.process_count()} processes are running; every "
+                f"process must own a slice of the mesh or failed-lane "
+                f"counters would be multi-counted")
     totals = np.zeros(NUM_COUNTERS, dtype=np.int64)
     if init_counters is not None:
         totals += np.asarray(init_counters, dtype=np.int64)
@@ -624,6 +643,43 @@ def run_monte_carlo_osd(
     if pending is not None:
         process(pending)
     return totals, total_iters
+
+
+def _effective_spc(num_chunks: int, steps_per_call: int) -> int:
+    """The dispatch-group size actually used for ``num_chunks`` chunks.
+
+    A ragged last group is a SECOND compiled program, and loading an
+    executable onto the tunneled chip costs seconds — prefer the largest
+    divisor of num_chunks <= steps_per_call so the whole run is one program
+    (unless that collapses the scan depth so far the per-dispatch tax would
+    dominate instead).  Deterministic in (num_chunks, steps_per_call)."""
+    if num_chunks % steps_per_call:
+        div = next((d for d in range(min(steps_per_call, num_chunks), 0, -1)
+                    if num_chunks % d == 0), 1)
+        if div >= max(1, steps_per_call // 8):
+            steps_per_call = div
+    return steps_per_call
+
+
+def effective_steps_per_call(count: int, batch_size: int, steps_per_call: int,
+                             mesh: Mesh | None = None) -> int:
+    """The steps_per_call :func:`run_monte_carlo` will ACTUALLY use.
+
+    ``run_monte_carlo`` may silently replace the configured value with a
+    divisor of the chunk count (see :func:`_effective_spc`) — which changes
+    dispatch-group boundaries, and ``start_chunk`` counts dispatch groups.
+    Callers that persist resumable journals (harness/cli.py) must therefore
+    pin THIS value (not the configured one) in the journal run_id, so a
+    journal written under one grouping is never resumed under another
+    (advisor r4 medium: pre-adjustment journals resumed with the divisor
+    applied would double-count or skip chunks)."""
+    if mesh is not None:
+        num_data = mesh.shape[DATA_AXIS]
+        chunk_samples = max(1, batch_size // num_data) * num_data
+    else:
+        chunk_samples = batch_size
+    num_chunks = -(-count // chunk_samples)
+    return _effective_spc(num_chunks, steps_per_call)
 
 
 def run_monte_carlo(
@@ -719,17 +775,9 @@ def run_monte_carlo(
         totals += np.asarray(init_counters, dtype=np.int64)
     total_iters = 0
     num_chunks = -(-count // chunk_samples)
-    if num_chunks % steps_per_call:
-        # a ragged last group is a SECOND compiled program, and loading an
-        # executable onto the tunneled chip costs seconds — prefer the
-        # largest divisor of num_chunks <= steps_per_call so the whole run
-        # is one program (unless that collapses the scan depth so far the
-        # per-dispatch tax would dominate instead).  Deterministic in
-        # (count, batch, steps_per_call), so resume group indices agree.
-        div = next((d for d in range(min(steps_per_call, num_chunks), 0, -1)
-                    if num_chunks % d == 0), 1)
-        if div >= max(1, steps_per_call // 8):
-            steps_per_call = div
+    # group-size adjustment shared with effective_steps_per_call so journal
+    # run_ids can pin the ACTUAL dispatch-group boundaries (advisor r4)
+    steps_per_call = _effective_spc(num_chunks, steps_per_call)
     group_ids = [np.arange(g, min(g + steps_per_call, num_chunks),
                            dtype=np.uint32)
                  for g in range(0, num_chunks, steps_per_call)]
