@@ -12,9 +12,11 @@ production paths on the actual device and records:
 * realistic-path samples/s (early exit ON) at a weight scaled with n;
 * device memory in use after the run (``device.memory_stats()``), next to
   the analytic edge-state model of ``large_code_scaling.py``;
-* one-chip LIMIT probes: progressively larger P until the decode no longer
-  runs, recording where and why it stops — the measured justification for
-  the graph-sharding layer.
+* one-chip LIMIT probes: progressively larger P, recording how each engine
+  holds up.  r4 found the resident Pallas kernel's VMEM wall at P >= 1051;
+  r5 adds the transposed wide-lane kernel (kernels/min_sum_wide_pallas.py)
+  that keeps those codes on Pallas — the probes now measure its rate vs the
+  XLA loop at identical shapes (VERDICT r4 #1 acceptance: >= 5x).
 
 Codes: the [[610,61]] flagship anchor; P=131 [[1310,131]]; P=521
 [[5210,521]]-class (8.5x flagship edges); BB [[756,16,34]] (lifted-kernel
@@ -42,12 +44,20 @@ VMEM_BYTES = 128 * 2**20
 VMEM_BUDGET = 100 * 2**20  # leave headroom for syndrome/scratch
 
 
-def _pick_shape(edge_state_bytes: int, want_batch: int) -> tuple[int, int]:
+def _pick_shape(edge_state_bytes: int, want_batch: int,
+                P: int) -> tuple[int, int]:
     """(batch, tile) for the fused kernel under Mosaic's constraint that the
     batch tile be a multiple of 128 OR equal to the full batch: prefer
     tile=128 when ~4x edge-state x 128 fits VMEM; for larger codes fall
-    back to single-tile mode (batch == tile, shrunk to fit)."""
-    if 4 * edge_state_bytes * 128 <= VMEM_BUDGET:
+    back to single-tile mode (batch == tile, shrunk to fit).
+
+    P >= WIDE_MIN_P codes dispatch to the transposed wide-lane kernel
+    (kernels/min_sum_wide_pallas.py, r5), which picks its own sublane batch
+    tile and whose VMEM state is independent of the batch — full batch,
+    nominal tile."""
+    from qec_ldpc_tpu.kernels.min_sum_pallas import WIDE_MIN_P
+
+    if P >= WIDE_MIN_P or 4 * edge_state_bytes * 128 <= VMEM_BUDGET:
         return want_batch, 128
     tile = 64
     while tile > 8 and 4 * edge_state_bytes * tile > VMEM_BUDGET:
@@ -55,7 +65,7 @@ def _pick_shape(edge_state_bytes: int, want_batch: int) -> tuple[int, int]:
     return tile, tile
 
 
-def main(out_path: str = "benchmarks/data/large_code_real_r4.jsonl",
+def main(out_path: str = "benchmarks/data/large_code_real_r5.jsonl",
          only: str = "") -> int:
     """``only``: comma-separated substrings — run just the matching codes/
     probes and APPEND to the artifact (tunnel compiles are expensive; this
@@ -118,10 +128,11 @@ def main(out_path: str = "benchmarks/data/large_code_real_r4.jsonl",
         ez = graphs.z.num_edges if hasattr(graphs.z, "num_edges") else None
         edge_state = ((ex or 0) + (ez or 0)) * 4
         key = jax.random.PRNGKey(11)
+        P = getattr(graphs.x, "P", 0)
         for kernel in kernels:
             for fixed_work in (True, False):
                 if kernel == "pallas":
-                    kbatch, tile = _pick_shape(edge_state, batch)
+                    kbatch, tile = _pick_shape(edge_state, batch, P)
                 else:
                     kbatch, tile = batch, min(128, batch)
                 kchunks = max(1, chunks * batch // kbatch)
@@ -216,10 +227,13 @@ def main(out_path: str = "benchmarks/data/large_code_real_r4.jsonl",
                 "error": f"{type(e).__name__}: {str(e)[:400]}"})
         print(f"bb FAILED: {str(e)[:200]}", flush=True)
 
-    # ---- one-chip limit probes: pallas kernel first, XLA streaming after
-    # the kernel wall (the fused kernel needs ~2 edge-state copies x 128
-    # lanes in VMEM, so its wall is P ~= 1100 even at the raised scoped
-    # limit; the XLA loop streams through HBM and keeps decoding)
+    # ---- one-chip limit probes.  r4 measured the RESIDENT kernel's VMEM
+    # wall here (OOM at P>=1051, 171-419 MB requested of 128 MB); r5's
+    # transposed wide-lane kernel (kernels/min_sum_wide_pallas.py) keeps
+    # per-tile state at O(B*L*Pl * 8) floats, so these P now run on Pallas.
+    # chunks=8 (was 2 in r4) so the per-dispatch tunnel tax (~30-70 ms)
+    # doesn't swamp the sub-100-ms kernel times; the XLA rows re-run at the
+    # same shape for an apples-to-apples 5x-rule comparison.
     for P in (1051, 2081, 4201):
         if not want(f"probe{P}") and not want("probes"):
             continue
@@ -231,7 +245,7 @@ def main(out_path: str = "benchmarks/data/large_code_real_r4.jsonl",
                 graphs = CodeGraphs.build(code)
                 w = max(1, round(15 * code.n / 610))
                 t0 = time.perf_counter()
-                bench_code(f"qc_P{P}_probe", graphs, w, 256, 2, iters=10,
+                bench_code(f"qc_P{P}_probe", graphs, w, 256, 8, iters=10,
                            kernels=(kern,))
                 rec.update({"ok": True, "total_seconds":
                             round(time.perf_counter() - t0, 1)})

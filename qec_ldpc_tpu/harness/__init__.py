@@ -5,7 +5,11 @@ from qec_ldpc_tpu.harness.config import (
     load_init_file,
 )
 from qec_ldpc_tpu.harness.journal import Journal
-from qec_ldpc_tpu.harness.stats import CodeStatistics, parse_reference_text
+from qec_ldpc_tpu.harness.stats import (
+    CodeStatistics,
+    parse_code_params,
+    parse_reference_text,
+)
 
 __all__ = [
     "debug",
@@ -13,6 +17,7 @@ __all__ = [
     "load_init_file",
     "format_result_filename",
     "CodeStatistics",
+    "parse_code_params",
     "parse_reference_text",
     "Journal",
 ]

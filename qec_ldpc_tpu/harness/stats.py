@@ -8,6 +8,7 @@ reference's golden corpus (``QEC_LDPC/results/**``).
 from __future__ import annotations
 
 import dataclasses
+import re
 
 import numpy as np
 
@@ -90,7 +91,24 @@ class CodeStatistics:
 
 def parse_reference_text(text: str) -> dict:
     """Parse a reference results file (one or more CodeStatistics dumps) into
-    a list of field dicts — used by the golden-corpus parity tests."""
+    a list of field dicts — used by the golden-corpus parity tests.
+
+    Handles BOTH serialization generations in the corpus:
+
+    * the final format (``CodeStatistics.h:22-37``): ``Errors With X/Z``
+      lines and one unified ``Logical Errors`` counter;
+    * the 2017 dated-directory format (``results/11-18-2017_*/``,
+      ``11-20-2017_max_*/``): no ``Errors With X/Z``, a ``Code:`` value
+      prefixed ``code: J=..,sigma=..,tau=..``, and — in the pre-detection
+      ``11-18`` files only — split ``Logical Errors X/Z`` lines.
+
+    The key/value structure is shared, so records keep their raw keys;
+    old-format records additionally get a derived ``Logical Errors`` entry
+    (the X+Z sum) when only the split lines exist, and consumers can detect
+    the old format by the absence of ``Errors With X``.  Use
+    :func:`parse_code_params` to read the code parameters from either
+    ``Code:`` form.
+    """
     records = []
     current: dict = {}
     for line in text.splitlines():
@@ -106,4 +124,26 @@ def parse_reference_text(text: str) -> dict:
         current[key.strip()] = val.strip()
     if current:
         records.append(current)
+    for rec in records:
+        if "Logical Errors" not in rec and "Logical Errors X" in rec:
+            rec["Logical Errors"] = str(
+                int(rec["Logical Errors X"])
+                + int(rec.get("Logical Errors Z", 0)))
     return records
+
+
+#: both Code-string generations: "[J=3,K=3,L=6,P=7,s=2,t=3][[n=42,k=0]]"
+#: (Quantum_LDPC_Code.h:145-150) and the older
+#: "code: J=2,K=3,L=6,P=7,sigma=2,tau=3 [[n=42,k=7]]"
+_CODE_PARAMS_RE = re.compile(
+    r"J=(\d+),\s*K=(\d+),\s*L=(\d+),\s*P=(\d+),"
+    r"\s*s(?:igma)?=(\d+),\s*t(?:au)?=(\d+)")
+
+
+def parse_code_params(code_str: str):
+    """(J, K, L, P, sigma, tau) from either generation of the reference's
+    code pretty-printer, or None if the string matches neither."""
+    m = _CODE_PARAMS_RE.search(code_str)
+    if not m:
+        return None
+    return tuple(int(g) for g in m.groups())

@@ -36,6 +36,15 @@ from jax.experimental.pallas import tpu as pltpu
 from qec_ldpc_tpu.decoder.layout import CirculantGraph
 from qec_ldpc_tpu.decoder.min_sum import np_log_band
 
+#: circulant sizes past this dispatch to the transposed wide-lane kernel
+#: (kernels/min_sum_wide_pallas.py).  The resident batch-on-lanes kernel was
+#: measured healthy at P=521 and VMEM-OOM at P=1051 on the real v5e chip
+#: (large_code_real_r4.jsonl: 171–419 MB requested of 128 MB, mostly
+#: register-allocator spill slots); the wide kernel's per-tile state is
+#: ~16x smaller and its lane-padding waste drops with P, so the crossover
+#: sits between those two measured points.
+WIDE_MIN_P = 768
+
 
 def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                   band: float, alpha: float, blk: int, damped: bool):
@@ -230,6 +239,18 @@ def min_sum_run_pallas(
         return lifted_min_sum_run_pallas(
             graph, syndrome, prior, max_iters, check_every=check_every,
             conv_low=conv_low, alpha=alpha, tile_batch=tile_batch,
+            interpret=interpret, damping=damping)
+    if graph.P >= WIDE_MIN_P:
+        # large-P codes: the resident layout VMEM-OOMs (see WIDE_MIN_P);
+        # route to the transposed wide-lane kernel, which picks its own
+        # (sublane) batch tile
+        from qec_ldpc_tpu.kernels.min_sum_wide_pallas import (
+            min_sum_run_wide_pallas,
+        )
+
+        return min_sum_run_wide_pallas(
+            graph, syndrome, prior, max_iters, check_every=check_every,
+            conv_low=conv_low, alpha=alpha,
             interpret=interpret, damping=damping)
     num_checks, batch = syndrome.shape
     if batch % tile_batch != 0:

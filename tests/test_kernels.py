@@ -245,3 +245,108 @@ def test_mxu_consts_none_warns(small_graphs):
         # default shift routing: silent (no operands exist)
         decode_batch(small_graphs, sx, sz, 0.01,
                      BPConfig(max_iters=5, kernel="pallas"))
+
+
+# ---- wide-lane (large-P) min-sum kernel: kernels/min_sum_wide_pallas.py ----
+
+@pytest.mark.parametrize("iters", [1, 7, 20])
+def test_wide_min_sum_matches_xla_fixed_iters(small_code, small_graphs, iters):
+    """The transposed wide-lane kernel is BIT-identical to the XLA min-sum
+    loop (same leave-one-out order; transposition reassociates nothing)."""
+    from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+    from qec_ldpc_tpu.kernels.min_sum_wide_pallas import (
+        min_sum_run_wide_pallas,
+    )
+
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 2, 8)
+    v_ref, it_ref = min_sum_run(graphs.x, syn, PRIOR, max_iters=iters,
+                                check_every=iters + 2)
+    v_ker, it_ker = min_sum_run_wide_pallas(
+        graphs.x, syn, PRIOR, max_iters=iters, check_every=iters + 2,
+        tile_batch=8, interpret=True)
+    assert int(it_ref) == iters
+    assert np.asarray(it_ker).max() == iters
+    np.testing.assert_array_equal(np.asarray(v_ker), np.asarray(v_ref))
+
+
+def test_wide_min_sum_early_exit_matches_xla(small_code, small_graphs):
+    from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+    from qec_ldpc_tpu.kernels.min_sum_wide_pallas import (
+        min_sum_run_wide_pallas,
+    )
+
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 1, 8, seed=3)
+    v_ref, it_ref = min_sum_run(graphs.x, syn, PRIOR, max_iters=50,
+                                check_every=10)
+    v_ker, it_ker = min_sum_run_wide_pallas(
+        graphs.x, syn, PRIOR, max_iters=50, check_every=10, tile_batch=8,
+        interpret=True)
+    assert np.asarray(it_ker).max() == int(it_ref)
+    np.testing.assert_array_equal(np.asarray(v_ker), np.asarray(v_ref))
+
+
+def test_wide_min_sum_tile_isolation(small_code, small_graphs):
+    """Wide-kernel tiles (sublane batch groups) early-exit independently."""
+    from qec_ldpc_tpu.kernels.min_sum_wide_pallas import (
+        min_sum_run_wide_pallas,
+    )
+
+    code, graphs = small_code, small_graphs
+    busy = _syndromes(code, graphs, 4, 8, seed=5)
+    quiet = jnp.zeros_like(busy)
+    syn = jnp.concatenate([quiet, busy], axis=1)  # tiles of 8
+    _, iters = min_sum_run_wide_pallas(graphs.x, syn, PRIOR, max_iters=50,
+                                       check_every=10, tile_batch=8,
+                                       interpret=True)
+    it = np.asarray(iters)
+    assert it[0] <= it[8]
+
+
+def test_wide_min_sum_damped_close(small_code, small_graphs):
+    """Damped (relay-engine) wide path matches the XLA damped loop to the
+    same ~1-ulp-per-iteration tolerance as the resident kernel."""
+    from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+    from qec_ldpc_tpu.kernels.min_sum_wide_pallas import (
+        min_sum_run_wide_pallas,
+    )
+
+    code, graphs = small_code, small_graphs
+    syn = _syndromes(code, graphs, 3, 8, seed=11)
+    gamma = jax.random.uniform(jax.random.PRNGKey(2),
+                               (graphs.x.num_vars, 8), jnp.float32, 0.05, 1.0)
+    damping = graphs.x.expand_vars(gamma)
+    v_ref, _ = min_sum_run(graphs.x, syn, PRIOR, max_iters=20,
+                           check_every=22, damping=damping)
+    v_ker, _ = min_sum_run_wide_pallas(graphs.x, syn, PRIOR, max_iters=20,
+                                       check_every=22, tile_batch=8,
+                                       interpret=True, damping=damping)
+    np.testing.assert_allclose(np.asarray(v_ker), np.asarray(v_ref),
+                               rtol=3e-5, atol=1e-4)
+
+
+def test_large_p_dispatches_to_wide_kernel():
+    """min_sum_run_pallas routes P >= WIDE_MIN_P graphs to the wide kernel
+    (the resident layout VMEM-OOMs there on real hardware) and the result
+    stays bit-identical to the XLA loop."""
+    from qec_ldpc_tpu.decoder.layout import CirculantGraph
+    from qec_ldpc_tpu.decoder.min_sum import min_sum_run
+    from qec_ldpc_tpu.kernels.min_sum_pallas import (
+        WIDE_MIN_P,
+        min_sum_run_pallas,
+    )
+
+    P = WIDE_MIN_P + 32
+    rng = np.random.default_rng(0)
+    table = rng.integers(0, P, size=(2, 3))
+    graph = CirculantGraph.from_table(table, P)
+    syn = jnp.asarray(rng.integers(0, 2, size=(graph.num_checks, 8)),
+                      dtype=jnp.int32)
+    v_ref, it_ref = min_sum_run(graph, syn, PRIOR, max_iters=6,
+                                check_every=8)
+    v_ker, it_ker = min_sum_run_pallas(graph, syn, PRIOR, max_iters=6,
+                                       check_every=8, tile_batch=128,
+                                       interpret=True)
+    assert np.asarray(it_ker).max() == int(it_ref)
+    np.testing.assert_array_equal(np.asarray(v_ker), np.asarray(v_ref))
