@@ -106,6 +106,7 @@ class ShardRouter:
     def __init__(self, graph: CirculantGraph, Lc: int, G: int):
         B, Pc = graph.B, graph.P
         self.P = Pc
+        self.G = G
         t = np.asarray(graph.table) % Pc
 
         def shifts(g, sign, layer=None):
@@ -264,6 +265,100 @@ def _sharded_bp(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     return v_final, n_final
 
 
+def _sharded_min_sum_kernel(graph: CirculantGraph, Lc: int,
+                            syndrome: jnp.ndarray, prior: jnp.ndarray,
+                            router: ShardRouter, cfg: BPConfig):
+    """Between-halos Pallas variant of :func:`_sharded_min_sum` (VERDICT r4
+    #2): the per-iteration all_gather stays an XLA collective; everything
+    between halos — CN leave-one-out x other-shard reduction, routing, VN,
+    done-masking, and the NEXT iteration's local (min, sign) partials — runs
+    as one fused ``pallas_call`` per iteration per shard, selected by a
+    ``lax.switch`` over the G per-position kernels (static shifts each).
+
+    The value stream is identical to the XLA body (partials_n are a pure
+    function of V_n in both schedules; min / ±1-product are exact under any
+    association; all other reductions keep the XLA order), so this path is
+    BIT-identical to both the XLA sharded engine and the single-device
+    min_sum_run — asserted by tests/test_graph_sharded.py in interpret mode
+    on the CPU mesh.
+    """
+    from qec_ldpc_tpu.decoder.min_sum import np_log_band
+    from qec_ldpc_tpu.kernels.sharded_step_pallas import (
+        sharded_min_sum_step_pallas,
+    )
+
+    B, Pc = graph.B, graph.P
+    G = router.G
+    bt = syndrome.shape[-1]
+    NB = Lc * B
+    Pl = -(-Pc // 128) * 128
+    interpret = jax.default_backend() == "cpu"
+    # staged transposed syndrome signs (B, bt, Pl), pads +1
+    s3 = syndrome.astype(jnp.float32).reshape(B, Pc, bt).transpose(0, 2, 1)
+    syn_t = jnp.pad(1.0 - 2.0 * s3, ((0, 0), (0, 0), (0, Pl - Pc)),
+                    constant_values=1.0)
+    prior = jnp.asarray(prior, dtype=jnp.float32)
+    prior_llr = jnp.reshape(jnp.log1p(-prior) - jnp.log(prior), (1,))
+    band = float(np_log_band(cfg.conv_low))
+    lanes_valid = jax.lax.broadcasted_iota(jnp.int32, (NB, bt, Pl), 2) < Pc
+    v0 = jnp.where(lanes_valid, prior_llr[0], 0.0).astype(jnp.float32) \
+        + 0.0 * syn_t[:1, :, :]
+    v0 = jnp.broadcast_to(v0, (NB, bt, Pl))
+    # initial local partials from V_0 (pad lanes are sliced off pre-gather)
+    v0r = v0.reshape(Lc, B, bt, Pl)
+    part0 = jnp.concatenate([
+        jnp.min(jnp.abs(v0r), axis=0),
+        jnp.prod(jnp.where(v0r < 0, -1.0, 1.0), axis=0)], axis=0)
+    done0 = jnp.any(syndrome < 0, axis=0)
+    gidx = jax.lax.axis_index(GRAPH_AXIS)
+
+    def other_from_partials(part):
+        """all_gather + other-shards (min, ±1 product) combine — the XLA
+        image of _other_device_min_and_product on (2B, bt, P) slabs."""
+        gathered = jax.lax.all_gather(part[..., :Pc], GRAPH_AXIS)
+        omin = jnp.full_like(part[:B, :, :Pc], jnp.inf)
+        osgn = jnp.ones_like(part[B:, :, :Pc])
+        for i in range(G):
+            is_me = gidx == i
+            omin = jnp.minimum(omin, jnp.where(is_me, jnp.inf,
+                                               gathered[i, :B]))
+            osgn = osgn * jnp.where(is_me, 1.0, gathered[i, B:])
+        return jnp.pad(jnp.concatenate([omin, osgn], axis=0),
+                       ((0, 0), (0, 0), (0, Pl - Pc)))
+
+    branches = [
+        (lambda pl_, la, sy, ot, dn, vv, g=g: sharded_min_sum_step_pallas(
+            graph, Lc, g, pl_, la, sy, ot, dn, vv,
+            alpha=cfg.min_sum_alpha, interpret=interpret))
+        for g in range(G)
+    ]
+
+    def cond(state):
+        n, _, _, done = state
+        return (n < cfg.max_iters) & ~jnp.all(done)
+
+    def body(state):
+        n, v, part, done = state
+        other_t = other_from_partials(part)
+        last = (n == cfg.max_iters - 1).astype(jnp.int32).reshape(1)
+        done_t = jnp.broadcast_to(
+            done.astype(jnp.float32)[:, None], (bt, 128))
+        v_new, part_new = jax.lax.switch(
+            gidx, branches, prior_llr, last, syn_t, other_t, done_t, v)
+        check_now = (n % cfg.check_every) == 0
+        inside = (jnp.abs(v_new) < band) & lanes_valid
+        local_nc = jnp.any(inside, axis=(0, 2))
+        nc = jax.lax.pmax(local_nc.astype(jnp.int32), GRAPH_AXIS) > 0
+        conv = check_now & ~nc
+        return n + 1, v_new, part_new, done | conv
+
+    n_final, v_final, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), v0, part0, done0))
+    # back to the engine's flat (NB*P, bt) check-indexed layout
+    v_flat = v_final[:, :, :Pc].transpose(0, 2, 1).reshape(NB * Pc, bt)
+    return v_flat, n_final
+
+
 def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
                      prior: jnp.ndarray, router: ShardRouter, cfg: BPConfig,
                      damping: jnp.ndarray | None = None):
@@ -275,8 +370,17 @@ def _sharded_min_sum(graph: CirculantGraph, Lc: int, syndrome: jnp.ndarray,
     shard-local, so unlike the sum-product variant this decoder is
     bit-identical to the single-device min_sum_run (asserted by
     tests/test_graph_sharded.py).
+
+    ``cfg.kernel == "pallas"`` routes the undamped path through the fused
+    between-halos kernel (:func:`_sharded_min_sum_kernel`) — bit-identical,
+    same collective structure.  The damped (relay-retry) path stays on the
+    XLA body.
     """
     from qec_ldpc_tpu.decoder.min_sum import np_log_band
+
+    if cfg.kernel == "pallas" and damping is None:
+        return _sharded_min_sum_kernel(graph, Lc, syndrome, prior, router,
+                                       cfg)
 
     B, Pc = graph.B, graph.P
     bt = syndrome.shape[-1]
@@ -616,6 +720,11 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
     z_router = ShardRouter(graphs.z, Lc, G)
     if cfg.algorithm not in ("sum-product", "min-sum", "layered-min-sum"):
         raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
+    if cfg.kernel == "pallas" and cfg.algorithm != "min-sum":
+        raise ValueError(
+            "the graph-sharded engines only have a fused between-halos "
+            "kernel for algorithm='min-sum' (kernels/sharded_step_pallas); "
+            "use kernel='xla' for sum-product / layered-min-sum")
 
     def shard_fn(sx, sz, p):
         prior = jnp.float32(cfg.prior_factor) * jnp.asarray(p, jnp.float32)
@@ -648,6 +757,10 @@ def make_graph_sharded_decoder(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig):
             P(DATA_AXIS),                 # error code per sample
             P(DATA_AXIS, None),           # iters per data shard
         ),
+        # pallas_call outputs carry no varying-mesh-axes annotation, so the
+        # vma checker rejects the fused-kernel body (same reason as the
+        # montecarlo shard_maps); classic semantics otherwise
+        check_vma=(cfg.kernel != "pallas"),
     )
     jitted = jax.jit(mapped)
 

@@ -52,6 +52,21 @@ from qec_ldpc_tpu.sampling.errors import (
 )
 
 
+def _reject_unsupported_pallas(graphs, cfg: BPConfig) -> None:
+    """kernel='pallas' on the graph axis is served only by the circulant
+    min-sum between-halos kernel (kernels/sharded_step_pallas, r5); every
+    other (algorithm, graph-type) combination runs XLA loops and must say
+    so instead of silently ignoring the request."""
+    if cfg.kernel != "pallas":
+        return
+    if cfg.algorithm != "min-sum" or not isinstance(graphs.x,
+                                                    CirculantGraph):
+        raise ValueError(
+            "cfg.kernel='pallas' with num_graph > 1 is only supported for "
+            "algorithm='min-sum' on circulant QC codes (the fused "
+            "between-halos kernel); use kernel='xla' for this combination")
+
+
 def _error_code(sfx, sfz, cfx, cfz):
     return (
         sfx.astype(jnp.int32) * SYNDROME_FAIL_X
@@ -73,18 +88,16 @@ def make_graph_sharded_chunk(mesh: Mesh, graphs: CodeGraphs, weight: int,
     on device in one dispatch.  ``batch_per_device`` counts samples per
     DATA-shard (each graph shard works on the same samples).
 
-    Constraints: the graph-sharded engines run XLA loops (``cfg.kernel`` must
-    not be 'pallas').  ``relay_retries > 0`` composes — failed lanes are
-    repaired in place by graph-sharded damped retries
-    (``graph_sharded._relay_one_graph_sharded`` for circulant codes,
-    ``lifted_sharded._relay_one_lifted`` for BB/HGP) — but host OSD is
+    Constraints: ``cfg.kernel='pallas'`` is supported for circulant min-sum
+    (the fused between-halos kernel, ``kernels/sharded_step_pallas`` — r5);
+    the other algorithms and the lifted engines run XLA loops.
+    ``relay_retries > 0`` composes — failed lanes are repaired in place by
+    graph-sharded damped retries (``graph_sharded._relay_one_graph_sharded``
+    for circulant codes, ``lifted_sharded._relay_one_lifted`` for BB/HGP;
+    the damped retries themselves run the XLA body) — but host OSD is
     data-parallel-only.
     """
-    if cfg.kernel == "pallas":
-        raise ValueError(
-            "cfg.kernel='pallas' is not supported by the graph-sharded "
-            "engines (they run XLA loops); build the BPConfig with "
-            "kernel='xla' when num_graph > 1")
+    _reject_unsupported_pallas(graphs, cfg)
     G = mesh.shape[GRAPH_AXIS]
     if G <= 1:
         raise ValueError("graph axis has size 1; use make_sharded_chunk")
@@ -234,10 +247,7 @@ def _check_graph_osd_mesh(mesh: Mesh, graphs: CodeGraphs, cfg: BPConfig,
                           batch: int):
     """Shared validation for the graph-sharded soft-output chunks; returns
     (G, num_data, bpd, Lc, x_router, z_router)."""
-    if cfg.kernel == "pallas":
-        raise ValueError(
-            "cfg.kernel='pallas' is not supported by the graph-sharded "
-            "engines; use kernel='xla'")
+    _reject_unsupported_pallas(graphs, cfg)
     if not isinstance(graphs.x, CirculantGraph):
         raise ValueError(
             "graph-sharded OSD arrays need circulant QC codes (the lifted "

