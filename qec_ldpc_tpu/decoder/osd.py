@@ -29,6 +29,8 @@ OSD**; sum-product remains the reference-parity algorithm.
 
 from __future__ import annotations
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from qec_ldpc_tpu import native
@@ -116,12 +118,26 @@ class OSDecoder:
     when available.
     """
 
-    def __init__(self, h_dense: np.ndarray, lam: int = 0):
+    def __init__(self, h_dense: np.ndarray, lam: int = 0,
+                 device: str = "auto"):
         self.h = np.ascontiguousarray(np.asarray(h_dense, dtype=np.uint8) % 2)
         self.m, self.n = self.h.shape
         self.lam = int(lam)
         # (n, w) packed columns over the m check bits
         self.packed_cols, self.words = native.pack_rows(self.h.T)
+        # OSD-0 on an accelerator backend runs the batched GF(2) elimination
+        # ON DEVICE (decoder/osd_device.py — r5; this container's 2 host
+        # cores made W>=40 quality sweeps host-bound).  lam > 0 keeps the
+        # host combination sweep.  ``device``: "auto" (device for lam==0 on
+        # TPU), "device" (force), "host" (force the C++/NumPy path).
+        self._dev = None
+        if self.lam == 0 and device != "host":
+            import jax
+
+            if device == "device" or jax.default_backend() == "tpu":
+                from qec_ldpc_tpu.decoder.osd_device import DeviceOSD0
+
+                self._dev = DeviceOSD0(self.h)
 
     def decode(self, syndromes: np.ndarray, reliability: np.ndarray
                ) -> tuple[np.ndarray, np.ndarray]:
@@ -129,6 +145,13 @@ class OSDecoder:
         LLR proxy from BP (smaller = more likely in error; only the per-lane
         ranking matters).  Returns ((n, B) uint8 corrections, (B,) bool
         solved)."""
+        if self._dev is not None and isinstance(reliability, jax.Array):
+            # device-resident fast path: the stable argsort runs on device
+            # (identical tie-breaking to np.argsort(kind='stable'), so the
+            # greedy pivot set — and the unique OSD-0 solution — stay
+            # bit-identical); nothing ships over the host link but results
+            return self._dev.decode_device(jnp.asarray(syndromes),
+                                           reliability)
         syndromes = np.asarray(syndromes)
         reliability = np.asarray(reliability)
         batch = syndromes.shape[1]
@@ -136,6 +159,10 @@ class OSDecoder:
             return (np.zeros((self.n, 0), dtype=np.uint8),
                     np.zeros(0, dtype=bool))
         order = np.argsort(reliability, axis=0, kind="stable").T  # (B, n)
+        if self._dev is not None:
+            # same order, same greedy pivot set, unique OSD-0 solution —
+            # bit-identical to the host solvers (tests/test_osd.py)
+            return self._dev.decode(syndromes, order)
         packed_syn, _ = native.pack_rows(syndromes.T)
         out = native.osd_batch(self.packed_cols, self.m,
                                order.astype(np.int32), packed_syn, self.lam)
@@ -154,10 +181,11 @@ class OSDecoder:
 class CSSPostprocessor:
     """OSD post-processing pair for a CSS code (X and Z graphs)."""
 
-    def __init__(self, graphs: CodeGraphs, lam: int = 0):
+    def __init__(self, graphs: CodeGraphs, lam: int = 0,
+                 device: str = "auto"):
         self.graphs = graphs
-        self.x = OSDecoder(graphs.code.pcm_x, lam=lam)
-        self.z = OSDecoder(graphs.code.pcm_z, lam=lam)
+        self.x = OSDecoder(graphs.code.pcm_x, lam=lam, device=device)
+        self.z = OSDecoder(graphs.code.pcm_z, lam=lam, device=device)
 
     def apply(
         self,
@@ -184,9 +212,19 @@ class CSSPostprocessor:
             failed = np.nonzero((ec & bit) != 0)[0]
             if failed.size == 0:
                 continue
-            syn_f = np.asarray(syn)[:, failed]
-            soft_f = np.asarray(soft)[:, failed]
-            e, ok = osd.decode(syn_f, soft_f)
+            if osd._dev is not None and isinstance(soft, jax.Array):
+                # device-resident inputs (the quality mode keeps the full
+                # per-chunk syndromes/softs on device for this path): the
+                # lane gather, ranking sort, and GF(2) solve all run inside
+                # the device jit — nothing ships over the slow host->device
+                # link but the tiny index vector, and nothing comes back
+                # but the corrections
+                e, ok = osd._dev.decode_device(jnp.asarray(syn), soft,
+                                               failed)
+            else:
+                syn_f = np.asarray(syn)[:, failed]
+                soft_f = np.asarray(soft)[:, failed]
+                e, ok = osd.decode(syn_f, soft_f)
             fixed = failed[ok]
             dec[:, fixed] = e[:, ok].astype(dec.dtype)
             ec[fixed] &= ~bit

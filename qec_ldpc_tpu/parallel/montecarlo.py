@@ -433,7 +433,10 @@ def _gather_failed_lanes(nfail, bundle, owned_starts=None):
     ``owned_starts``: on a (data x graph) mesh the bundle columns are
     replicated over the graph axis; each process must fetch a data shard
     from exactly ONE replica — the set of global column offsets this
-    process owns (None = own everything addressable, dedup'd)."""
+    process owns (None = own everything addressable, dedup'd).
+
+    The single-device device-OSD path uses :func:`_gather_failed_lanes_fast`
+    instead (syndromes/softs stay on device, one stacked host fetch)."""
     k_by_dev = {s.device: int(np.asarray(s.data)[0])
                 for s in nfail.addressable_shards}
 
@@ -465,6 +468,67 @@ def _gather_failed_lanes(nfail, bundle, owned_starts=None):
     if ec is None or ec.shape[-1] == 0:
         return None
     return out
+
+
+@partial(jax.jit, static_argnames=())
+def _splice_classify(i_minus_p, xe, ze, dx, dz, ec, k,
+                     idx_x, e_x, ok_x, idx_z, e_z, ok_z):
+    """Device half of the fully-device OSD repair: splice solved corrections
+    into the decisions, clear their SYNDROME_FAIL bits, and classify the
+    failed lanes (columns [0, k) of the compacted batch).  Pad entries of
+    the idx arrays are -1 and route to a dump column."""
+    batch = ec.shape[0]
+    out = {}
+    for bit, dec, idx, e, ok in ((SYNDROME_FAIL_X, dx, idx_x, e_x, ok_x),
+                                 (SYNDROME_FAIL_Z, dz, idx_z, e_z, ok_z)):
+        tgt = jnp.where(idx < 0, batch, idx)
+        decp = jnp.concatenate(
+            [dec, jnp.zeros((dec.shape[0], 1), dec.dtype)], axis=1)
+        cur = jnp.take(decp, tgt, axis=1)
+        newv = jnp.where(ok[None, :], e.T.astype(dec.dtype), cur)
+        decp = decp.at[:, tgt].set(newv)
+        ecp = jnp.concatenate([ec, jnp.zeros((1,), ec.dtype)])
+        ec_cur = jnp.take(ecp, tgt)
+        ecp = ecp.at[tgt].set(jnp.where(ok, ec_cur & ~bit, ec_cur))
+        ec = ecp[:batch]
+        out[bit] = decp[:, :batch]
+    valid = jnp.arange(batch) < k
+    return classify_batch(i_minus_p, xe.astype(jnp.int32),
+                          ze.astype(jnp.int32),
+                          out[SYNDROME_FAIL_X].astype(jnp.int32),
+                          out[SYNDROME_FAIL_Z].astype(jnp.int32),
+                          ec, valid=valid)
+
+
+def _device_repair_classify(post, i_minus_p, nfail, bundle):
+    """Fully-device tail of the lam=0 quality mode: the GF(2) solves, the
+    correction splice, and the failed-lane classification all run on the
+    accelerator; the host sees only the (tiny) per-graph failed index sets
+    and the final counter vector.  Bit-identical to the host tail
+    (device classify_batch == classify_batch_np; the OSD-0 solution is
+    unique).  Returns the failed-lane counter vector (int64)."""
+    k = int(np.asarray(nfail).ravel()[0])
+    if k == 0:
+        return np.zeros(NUM_COUNTERS, dtype=np.int64)
+    xe, ze, sx, sz, dx, dz, softx, softz, ec = bundle
+    kp = min(1 << (k - 1).bit_length(), int(ec.shape[0]))
+    ec_np = np.asarray(ec[:kp])[:k]
+
+    def solve(osd, syn, soft, bit):
+        failed = np.nonzero((ec_np & bit) != 0)[0].astype(np.int32)
+        got = osd._dev.decode_device_arrays(syn, soft, failed)
+        if got is None:
+            return (np.full(1, -1, np.int32),
+                    jnp.zeros((1, osd.n), jnp.int8),
+                    jnp.zeros((1,), bool))
+        return got
+
+    idx_x, e_x, ok_x = solve(post.x, sx, softx, SYNDROME_FAIL_X)
+    idx_z, e_z, ok_z = solve(post.z, sz, softz, SYNDROME_FAIL_Z)
+    counters = _splice_classify(
+        i_minus_p, xe, ze, dx, dz, ec, jnp.int32(k),
+        jnp.asarray(idx_x), e_x, ok_x, jnp.asarray(idx_z), e_z, ok_z)
+    return np.asarray(counters, dtype=np.int64)
 
 
 def _repair_and_classify_np(post, i_minus_p, failed):
@@ -608,14 +672,27 @@ def run_monte_carlo_osd(
     num_chunks = -(-count // batch_size)
     p32 = jnp.float32(error_probability)
 
+    # device-OSD fast path (single device, lam == 0): the whole repair tail
+    # — GF(2) solves, correction splice, failed-lane classification — runs
+    # ON DEVICE (decoder/osd_device.py + _splice_classify); the host sees
+    # only the failed index sets (tiny) and the counter vector, instead of
+    # round-tripping multi-MB arrays over the tunneled host link (r5)
+    device_tail = (post is not None and mesh is None and not multi
+                   and getattr(post.x, "_dev", None) is not None)
+
     def process(item):
         nonlocal totals, total_iters
         c, (counters_ok, iters, nfail, bundle) = item
-        failed = _gather_failed_lanes(nfail, bundle, owned_starts)
-        if failed is not None:
-            cnt_failed = _repair_and_classify_np(post, i_minus_p, failed)
+        if device_tail:
+            cnt_failed = _device_repair_classify(post, i_minus_p, nfail,
+                                                 bundle)
         else:
-            cnt_failed = np.zeros(NUM_COUNTERS, dtype=np.int64)
+            failed = _gather_failed_lanes(nfail, bundle, owned_starts)
+            if failed is not None:
+                cnt_failed = _repair_and_classify_np(post, i_minus_p,
+                                                     failed)
+            else:
+                cnt_failed = np.zeros(NUM_COUNTERS, dtype=np.int64)
         if multi:
             # every process calls this once per chunk (same order), so the
             # host-side reduction is a well-ordered collective

@@ -93,22 +93,44 @@ def main() -> int:
         jax.distributed.shutdown()
         return 0
 
-    if mode == "cli":
+    if mode in ("cli", "cli_kill"):
         # full harness path over the process-spanning mesh: process-0-only
-        # writes, broadcast seed/resume, replicated stats on every process
+        # writes, broadcast seed/resume, replicated stats on every process.
+        # ``cli_kill`` additionally throttles journal appends (0.2 s each)
+        # so the elastic-recovery test has a deterministic mid-sweep window
+        # to SIGKILL the workers in, and journals per dispatch group
+        # (steps_per_call=1) so several groups exist to interrupt between.
         results_dir = sys.argv[5]
         from qec_ldpc_tpu.harness.cli import run_sweep
         from qec_ldpc_tpu.harness.config import RunConfig
 
+        kwargs = {}
+        if mode == "cli_kill":
+            import time as _time
+
+            from qec_ldpc_tpu.harness import journal as _journal
+
+            _orig_append = _journal.Journal.append
+
+            def _slow_append(self, rec):
+                _orig_append(self, rec)
+                _time.sleep(0.2)
+
+            _journal.Journal.append = _slow_append
+            kwargs = dict(count=256, steps_per_call=1)
         cfg = RunConfig(
             code_file="qc:3,3,6,7,2,3", weight_start=2, weight_end=2,
-            count=64, max_iterations=20, error_probability=0.02,
+            count=kwargs.get("count", 64), max_iterations=20,
+            error_probability=0.02,
             seed=11, batch_size=32, algorithm="min-sum",
+            steps_per_call=kwargs.get("steps_per_call", 32),
             results_dir=results_dir,
             log_file=os.path.join(results_dir, "log.txt"))
         stats = run_sweep(cfg)[0]
         print(f"STATS {stats.num_errors_tested},{stats.corrected},"
-              f"{stats.logical_errors}", flush=True)
+              f"{stats.logical_errors},{stats.syndrome_errors_x},"
+              f"{stats.syndrome_errors_z},{stats.convergence_fail_x},"
+              f"{stats.convergence_fail_z}", flush=True)
         jax.distributed.shutdown()
         return 0
 
