@@ -112,23 +112,38 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
         cfg = BPConfig(max_iters=max_iters, kernel=kernel)
         consts = kernel_consts(graphs, cfg)
         t0 = time.perf_counter()
+        # seed folds in MAX: r4 seeded 4200+w only, so every MAX variant of
+        # a weight decoded the SAME sample stream — their deviations from
+        # the reference were correlated by construction, which is exactly
+        # the shape of the r4 W=11 syn_x "z-cluster" (three same-sign z's
+        # at MAX=1000/10000/100000; VERDICT r4 weak #4).  Independent
+        # streams make same-sign clusters evidence instead of artifact.
         counters = np.asarray(sweep_point(
-            ltest, consts, jax.random.PRNGKey(4200 + w), jnp.int32(w),
-            jnp.float32(p), cfg, batch, num_chunks))
+            ltest, consts, jax.random.PRNGKey(4200 + w + 101 * max_iters),
+            jnp.int32(w), jnp.float32(p), cfg, batch, num_chunks))
         dt = time.perf_counter() - t0
         n_ours = int(counters[0])
 
+        from benchmarks.golden_deep import rate_parity_pvalue
+
+        pvals = {}
+
         def frac_and_z(field, ours_idx):
-            fr = int(ref[field]) / n_ref
-            fo = int(counters[ours_idx]) / n_ours
+            kr, ko = int(ref[field]), int(counters[ours_idx])
+            fr, fo = kr / n_ref, ko / n_ours
             sigma = float(np.sqrt(fr * (1 - fr) / n_ref
                                   + fo * (1 - fo) / n_ours)) or 1e-9
+            # exact conditional-binomial two-sample test alongside the z
+            # (VERDICT r4 #4: exact tests throughout the deep sweep)
+            pvals[field] = round(rate_parity_pvalue(kr, n_ref, ko, n_ours), 6)
             return fr, fo, round((fo - fr) / sigma, 3)
 
         rc, oc, zc = frac_and_z("Corrected", 3)
         rl, ol, zl = frac_and_z("Logical Errors", 6)
         rsx, osx, zsx = frac_and_z("Syndrome Errors X", 4)
+        rsz, osz, zsz = frac_and_z("Syndrome Errors Z", 5)
         rcx, ocx, zcx = frac_and_z("Convergence Fail X", 7)
+        rcz, ocz, zcz = frac_and_z("Convergence Fail Z", 8)
         rec = {
             "weight": w, "p": p, "max_iters": max_iters,
             "ref_tested": n_ref, "ours_tested": n_ours,
@@ -144,6 +159,14 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
             "ref_conv_x_fraction": round(rcx, 6),
             "ours_conv_x_fraction": round(ocx, 6),
             "z_conv_x": zcx,
+            "ref_syn_z_fraction": round(rsz, 6),
+            "ours_syn_z_fraction": round(osz, 6),
+            "z_syn_z": zsz,
+            "ref_conv_z_fraction": round(rcz, 6),
+            "ours_conv_z_fraction": round(ocz, 6),
+            "z_conv_z": zcz,
+            **{f"pvalue_{k.lower().replace(' ', '_')}": v
+               for k, v in pvals.items()},
             "seconds": round(dt, 3),
         }
         records.append(rec)
@@ -163,7 +186,13 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
             "note": ("every [[42,0]] corpus file at its LABELED prior "
                      "(r3 finding: this corpus matches at p as labeled); "
                      "the failure-regime counters are the signal here — "
-                     "the code is degenerate (k=0) and BP mostly fails"),
+                     "the code is degenerate (k=0) and BP mostly fails. "
+                     "r5: per-point seeds fold in MAX (the r4 W=11 "
+                     "'z-cluster' was three MAX variants sharing one "
+                     "sample stream — correlated our-side noise, not a "
+                     "decoder discrepancy; see the seed comment), and "
+                     "exact conditional-binomial two-sample pvalue_* "
+                     "fields accompany every z"),
         }
         f.write(json.dumps(meta) + "\n")
         for rec in records:
