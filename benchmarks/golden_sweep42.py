@@ -80,10 +80,20 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
     kernel = "pallas" if jax.default_backend() == "tpu" else "xla"
     W_MAX = 32  # corpus tops out at W=30
     batch = 2048
-    num_chunks = -(-count // batch)
+    # worst-case lane-iteration budget per point: this code is degenerate
+    # (BP mostly FAILS at W >= 21, running the full MAX), so a flat
+    # samples-per-point at MAX=100000 means ~2e11 lane-iterations in one
+    # point — hours of chip time, and a single scan that long trips the
+    # tunneled worker's watchdog (measured: worker killed after ~10 min).
+    # Points are therefore capped at ITER_BUDGET pessimistic lane-iters
+    # (MAX<=1000 keeps the full count; MAX=10000 ~400k samples; MAX=100000
+    # ~40k — still 4x the r4 depth at those points), and scans are split
+    # into <=64-chunk dispatches so no dispatch approaches watchdog scale.
+    ITER_BUDGET = 8_000_000_000
 
-    @partial(jax.jit, static_argnames=("cfg", "batch", "num_chunks"))
-    def sweep_point(lt, consts, key, weight, p, cfg, batch, num_chunks):
+    @partial(jax.jit, static_argnames=("cfg", "batch", "group"))
+    def sweep_group(lt, consts, key, weight, p, cfg, batch, group,
+                    chunk0):
         def body(counters, c):
             ck = jax.random.fold_in(key, c)
             xe, ze = sample_weight_w_errors_dynamic(
@@ -100,8 +110,17 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
 
         init = jnp.zeros(NUM_COUNTERS, jnp.int32)
         counters, _ = jax.lax.scan(
-            body, init, jnp.arange(num_chunks, dtype=jnp.uint32))
+            body, init, chunk0 + jnp.arange(group, dtype=jnp.uint32))
         return counters
+
+    def sweep_point(lt, consts, key, weight, p, cfg, batch, num_chunks):
+        total = np.zeros(NUM_COUNTERS, np.int64)
+        for g0 in range(0, num_chunks, 64):
+            group = min(64, num_chunks - g0)
+            total += np.asarray(sweep_group(
+                lt, consts, key, weight, p, cfg, batch, group,
+                jnp.uint32(g0)), dtype=np.int64)
+        return total
 
     points = read_golden_points()
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -111,6 +130,10 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
         n_ref = int(ref["Errors Tested"])
         cfg = BPConfig(max_iters=max_iters, kernel=kernel)
         consts = kernel_consts(graphs, cfg)
+        # pessimistic (all-lanes-fail) lane-iteration budget cap
+        samples_cap = max(batch, ITER_BUDGET // (2 * max_iters))
+        point_count = min(count, samples_cap)
+        num_chunks = -(-point_count // batch)
         t0 = time.perf_counter()
         # seed folds in MAX: r4 seeded 4200+w only, so every MAX variant of
         # a weight decoded the SAME sample stream — their deviations from
@@ -180,6 +203,7 @@ def main(out_path: str = "benchmarks/data/golden_sweep42_r4.jsonl",
             "artifact": "golden_sweep42", "code": str(code),
             "decoder": "sum-product", "kernel": kernel,
             "samples_per_point": count,
+            "iter_budget_per_point": ITER_BUDGET,
             "device_kind": jax.devices()[0].device_kind,
             "points": len(records),
             "total_seconds": round(time.perf_counter() - t_all, 1),

@@ -110,8 +110,12 @@ class RunConfig:
         kernel = self.kernel
         if kernel == "auto":
             if self.num_graph > 1:
-                # the graph-sharded engines are XLA loops (the fused kernels
-                # are single-chip); make_graph_sharded_chunk rejects 'pallas'
+                # auto stays conservative on the graph axis: the fused
+                # between-halos step (r5, kernels/sharded_step_pallas)
+                # serves only circulant min-sum, and auto cannot see the
+                # code family here.  Opt in explicitly with kernel=pallas
+                # (min-sum, circulant codes) — measured 2.55x the XLA body
+                # at P=521 (benchmarks/sharded_step_bench.py).
                 kernel = "xla"
             else:
                 import jax
