@@ -105,7 +105,7 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                 for i in range(L - 2, -1, -1):
                     suf_m[i] = jnp.minimum(suf_m[i + 1], mags[i + 1])
                     suf_s[i] = suf_s[i + 1] * sgs[i + 1]
-                sgn_b = sgn_ref[b]
+                sgn_b = sgn_ref[b * bt:(b + 1) * bt, :]
                 for l in range(L):
                     loo_sgn = pre_s[l] * suf_s[l]
                     loo_min = jnp.minimum(pre_m[l], suf_m[l])
@@ -130,8 +130,8 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
                     if damped or masked:
                         old = v_ref[i]
                         if damped:
-                            rolled = (dmp_ref[i] * old
-                                      + (1.0 - dmp_ref[i]) * rolled)
+                            d = dmp_ref[i * bt:(i + 1) * bt, :]
+                            rolled = d * old + (1.0 - d) * rolled
                         if masked:
                             rolled = jnp.where(done, old, rolled)
                     v_ref[i] = rolled
@@ -179,8 +179,9 @@ def _build_kernel(graph: CirculantGraph, max_iters: int, check_every: int,
 
         n_final = jnp.where(alldone == 0, n_loop + 1, n_loop)
 
-        v_out_ref[:] = v_ref[:]
-        iters_ref[:] = jnp.full((bt, 1), n_final, jnp.int32)
+        for i in range(NB):
+            v_out_ref[i * bt:(i + 1) * bt, :] = v_ref[i]
+        iters_ref[:] = jnp.full((bt, 128), n_final, jnp.int32)
 
     return kernel
 
@@ -229,24 +230,36 @@ def min_sum_run_wide_pallas(
     prior_f = jnp.asarray(prior, jnp.float32)
     prior_llr = jnp.reshape(jnp.log1p(-prior_f) - jnp.log(prior_f), (1,))
 
-    # stage syndrome signs outside the kernel: (B, batch, Pl), pads +1 —
-    # XLA does the transpose+pad once in HBM, the kernel slices per block
+    # Stage syndrome signs outside the kernel, TILE-MAJOR 2D: every
+    # XLA-visible operand/result of this kernel is rank-2 (rows, Pl).
+    # This is LOAD-BEARING, not style: with rank-3 blocks ((B, bt, Pl) etc.)
+    # the compiled program MISREAD the kernel's output when consumed
+    # in-program at some shapes — measured at (B=5, P in {1301, 2081,
+    # 2111, 2131}): in-program hard decisions differed from the
+    # bit-identical fetched-to-host values of the same buffer, and
+    # co-residence with the XLA while_loop engine crashed the TPU worker.
+    # Every long-proven kernel in this repo uses rank-2 XLA-visible
+    # buffers; rank-3 was this kernel's one novelty (r5 fault hunt).
     s3 = syndrome.astype(jnp.float32).reshape(B, P, batch).transpose(0, 2, 1)
     sign = jnp.pad(1.0 - 2.0 * s3, ((0, 0), (0, 0), (0, Pl - P)),
                    constant_values=1.0)
+    sign2 = sign.reshape(B, num_tiles, bt, Pl).transpose(1, 0, 2, 3)
+    sign2 = sign2.reshape(num_tiles * B * bt, Pl)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((B, bt, Pl), lambda t: (0, t, 0),
+        pl.BlockSpec((B * bt, Pl), lambda t: (t, 0),
                      memory_space=pltpu.VMEM),
     ]
-    inputs = [prior_llr, sign]
+    inputs = [prior_llr, sign2]
     if damped:
         d3 = damping.astype(jnp.float32).reshape(NB, P, batch)
         d3 = jnp.pad(d3.transpose(0, 2, 1), ((0, 0), (0, 0), (0, Pl - P)))
-        in_specs.append(pl.BlockSpec((NB, bt, Pl), lambda t: (0, t, 0),
+        d2 = d3.reshape(NB, num_tiles, bt, Pl).transpose(1, 0, 2, 3)
+        d2 = d2.reshape(num_tiles * NB * bt, Pl)
+        in_specs.append(pl.BlockSpec((NB * bt, Pl), lambda t: (t, 0),
                                      memory_space=pltpu.VMEM))
-        inputs.append(d3)
+        inputs.append(d2)
 
     scratch_shapes = [
         pltpu.VMEM((NB, bt, Pl), jnp.float32),  # V messages
@@ -254,13 +267,12 @@ def min_sum_run_wide_pallas(
         pltpu.VMEM((bt, 128), jnp.float32),     # done mask (col 0)
     ]
     # declared VMEM: scratch + in/out blocks (x2 for pipelining buffers);
-    # same headroom policy as the resident kernel (spills scale with size)
+    # wider headroom than the resident kernel: measured at P=1051/bt=32 the
+    # compiler's stack allocation ran 2.5 MB past declared*1.5 + 16 MiB
     blk_bytes = NB * bt * Pl * 4
     declared = (2 * blk_bytes + bt * 128 * 4
                 + 2 * (B * bt * Pl * 4 + blk_bytes + bt * 128 * 4)
                 + (2 * blk_bytes if damped else 0))
-    # wider headroom than the resident kernel: measured at P=1051/bt=32 the
-    # compiler's stack allocation ran 2.5 MB past declared*1.5 + 16 MiB
     vmem_limit = min(120 * 1024 * 1024,
                      max(declared + (24 << 20), declared * 2))
 
@@ -269,9 +281,9 @@ def min_sum_run_wide_pallas(
         grid=(num_tiles,),
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((NB, bt, Pl), lambda t: (0, t, 0),
+            pl.BlockSpec((NB * bt, Pl), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1), lambda t: (t, 0),
+            pl.BlockSpec((bt, 128), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=scratch_shapes,
@@ -280,13 +292,14 @@ def min_sum_run_wide_pallas(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((NB, batch, Pl), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 1), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles * NB * bt, Pl), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(*inputs)
-    # back to the flat check-indexed (num_edges, batch) edge-tensor layout
-    v_final = v_out[:, :, :P].transpose(0, 2, 1).reshape(
-        graph.num_edges, batch)
+    # back to the flat check-indexed (num_edges, batch) edge-tensor layout:
+    # (tile, blk, row, lane) -> (blk, lane, tile, row)
+    v4 = v_out.reshape(num_tiles, NB, bt, Pl)[:, :, :, :P]
+    v_final = v4.transpose(1, 3, 0, 2).reshape(graph.num_edges, batch)
     return v_final, iters[:, 0]
